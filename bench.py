@@ -1,0 +1,113 @@
+"""Headline benchmark: full rotating-radar frames/sec on real TPU hardware.
+
+Workload = the reference's tuned MulRan KAIST02 preset
+(cfg/mulran_kaist_dyncfg.yaml): 400 azimuths x 3424 range cells, resolution
+0.0595238 m, 50 samples/beam, 4 reflections, triangular denoise (35, 0.35),
+Perlin ambient noise — on a procedural urban mesh (the KAIST02 mesh asset is
+not redistributable; scene scale ~10k triangles matches the workload class).
+
+North star (BASELINE.json): >= 4 Hz on one TPU v5e chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "...", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def build_benchmark():
+    import jax
+
+    from radarays_ros_tpu.geom.primitives import make_urban_scene
+    from radarays_ros_tpu.geom.scene import Scene
+    from radarays_ros_tpu.sim.config import Materials, RadarModelConfig, RadarParams
+
+    parts, names = make_urban_scene(n_buildings=800, extent=300.0, seed=7)
+    scene = Scene.compose(parts, names, chunk_size=256)
+
+    n_obj = scene.n_objects
+    materials = Materials.from_list(
+        [dict(velocity=0.3, ambient=1.0, diffuse=0.0, specular=1.0)]
+        + [dict(velocity=0.0, ambient=1.0, diffuse=0.0, specular=3000.0)]
+    )
+    object_materials = np.ones(n_obj, np.int32)  # everything wall-stone
+    params = RadarParams.make(materials, object_materials, beam_width_deg=10.0)
+
+    cfg = RadarModelConfig(
+        n_angles=400,
+        n_cells=3424,
+        resolution=0.0595238,
+        n_samples=50,
+        n_reflections=4,
+        beam_sample_dist=2,
+        beam_sample_dist_normal_p_in_cone=0.8,
+        energy_max=0.72,
+        signal_max=110.0,
+        signal_denoising=1,
+        signal_denoising_triangular_width=35,
+        signal_denoising_triangular_mode=0.35,
+        ambient_noise=2,
+        ambient_noise_at_signal_0=0.1,
+        ambient_noise_at_signal_1=0.03,
+        ambient_noise_energy_max=0.1,
+        ambient_noise_energy_min=0.05,
+        record_multi_reflection=True,
+        record_multi_path=False,
+        trace_engine="culled",
+        trace_ray_block=2048,
+        trace_k_chunks=12,
+    )
+    key = jax.random.PRNGKey(0)
+    return scene.device_arrays(), params, cfg, key
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from radarays_ros_tpu.sim.pipeline import simulate_frame_jit
+    from radarays_ros_tpu.utils.transforms import make_pose
+
+    scene, params, cfg, key = build_benchmark()
+    scene = jax.device_put(scene)
+    params = jax.device_put(params)
+    pose = jnp.asarray(make_pose([0.0, 0.0, 2.0]))
+
+    # warmup/compile
+    res = simulate_frame_jit(scene, params, cfg, pose, key)
+    jax.block_until_ready(res.image_u8)
+
+    n_frames = 20
+    keys = jax.random.split(key, n_frames)
+    t0 = time.perf_counter()
+    for i in range(n_frames):
+        res = simulate_frame_jit(scene, params, cfg, pose, keys[i])
+    jax.block_until_ready(res.image_u8)
+    dt = time.perf_counter() - t0
+
+    fps = n_frames / dt
+    rays_per_frame = cfg.n_angles * cfg.n_samples * (2 ** cfg.n_reflections - 1)
+    mrays = fps * rays_per_frame / 1e6
+
+    print(json.dumps({
+        "metric": "radar_frames_per_sec_400x3424_kaist_preset",
+        "value": round(fps, 3),
+        "unit": "Hz",
+        "vs_baseline": round(fps / 4.0, 3),
+        "extra": {
+            "mrays_per_sec": round(mrays, 2),
+            "rays_per_frame": rays_per_frame,
+            "n_triangles": int(scene.verts.shape[0]),
+            "device": str(jax.devices()[0]),
+            "trace_engine": cfg.trace_engine,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

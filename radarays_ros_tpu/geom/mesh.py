@@ -1,0 +1,255 @@
+"""Mesh file IO: PLY (ascii + binary_little_endian), OBJ, STL (ascii + binary).
+
+Replaces the reference's rmagine map import (radar_simulator.cpp:149,164 load
+PLY/DAE scene files via Embree/OptiX). Pure NumPy; no external mesh deps.
+
+OBJ object/group statements (`o`/`g`) split the mesh into objects, producing
+the per-triangle object ids that feed the `object_materials` lookup; PLY and
+STL files yield a single object unless a per-face integer property named
+`object_id` (PLY) is present.
+"""
+
+from __future__ import annotations
+
+import struct
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from radarays_ros_tpu.geom.scene import Scene
+
+
+def load_mesh(path, chunk_size: int = 256) -> Scene:
+    path = Path(path)
+    ext = path.suffix.lower()
+    if ext == ".ply":
+        return _load_ply(path, chunk_size)
+    if ext == ".obj":
+        return _load_obj(path, chunk_size)
+    if ext == ".stl":
+        return _load_stl(path, chunk_size)
+    raise ValueError(f"unsupported mesh format: {ext} (supported: .ply .obj .stl)")
+
+
+# ---------------------------------------------------------------- PLY
+
+_PLY_DTYPES = {
+    "char": "i1", "int8": "i1",
+    "uchar": "u1", "uint8": "u1",
+    "short": "i2", "int16": "i2",
+    "ushort": "u2", "uint16": "u2",
+    "int": "i4", "int32": "i4",
+    "uint": "u4", "uint32": "u4",
+    "float": "f4", "float32": "f4",
+    "double": "f8", "float64": "f8",
+}
+
+
+def _load_ply(path: Path, chunk_size: int) -> Scene:
+    with open(path, "rb") as f:
+        if f.readline().strip() != b"ply":
+            raise ValueError(f"{path}: not a PLY file")
+        fmt = None
+        elements = []  # list of (name, count, [properties])
+        while True:
+            line = f.readline()
+            if not line:
+                raise ValueError(f"{path}: truncated header")
+            tokens = line.decode("ascii", "replace").strip().split()
+            if not tokens or tokens[0] == "comment":
+                continue
+            if tokens[0] == "format":
+                fmt = tokens[1]
+            elif tokens[0] == "element":
+                elements.append((tokens[1], int(tokens[2]), []))
+            elif tokens[0] == "property":
+                if tokens[1] == "list":
+                    elements[-1][2].append(("list", tokens[2], tokens[3], tokens[4]))
+                else:
+                    elements[-1][2].append(("scalar", tokens[1], tokens[2]))
+            elif tokens[0] == "end_header":
+                break
+        if fmt == "ascii":
+            data = _ply_read_ascii(f, elements)
+        elif fmt in ("binary_little_endian", "binary_big_endian"):
+            data = _ply_read_binary(f, elements, "<" if fmt.endswith("little_endian") else ">")
+        else:
+            raise ValueError(f"{path}: unknown PLY format {fmt}")
+
+    verts = data["vertex"]
+    xyz = np.stack([verts["x"], verts["y"], verts["z"]], axis=-1).astype(np.float32)
+    face_el = data.get("face")
+    if face_el is None:
+        raise ValueError(f"{path}: PLY has no face element")
+    idx = face_el["__list__"]
+    tris = _fan_triangulate(idx)
+    obj_ids = np.zeros(len(tris), np.int32)
+    if "object_id" in face_el:
+        per_face_obj = np.asarray(face_el["object_id"], np.int32)
+        obj_ids = per_face_obj[_fan_face_origin(idx)]
+    return Scene(xyz[np.asarray(tris, np.int64)], obj_ids, chunk_size=chunk_size)
+
+
+def _fan_triangulate(faces):
+    tris = []
+    for face in faces:
+        for k in range(1, len(face) - 1):
+            tris.append((face[0], face[k], face[k + 1]))
+    return np.asarray(tris, np.int64)
+
+
+def _fan_face_origin(faces):
+    out = []
+    for i, face in enumerate(faces):
+        out.extend([i] * (len(face) - 2))
+    return np.asarray(out, np.int64)
+
+
+def _ply_read_ascii(f, elements):
+    data = {}
+    text = f.read().decode("ascii", "replace").split()
+    pos = 0
+    for name, count, props in elements:
+        cols = {p[1] if p[0] == "list" else p[2]: [] for p in props}
+        lists = []
+        for _ in range(count):
+            for p in props:
+                if p[0] == "list":
+                    n = int(text[pos]); pos += 1
+                    lists.append([float(text[pos + i]) for i in range(n)])
+                    pos += n
+                else:
+                    cols[p[2]].append(float(text[pos])); pos += 1
+        el = {k: np.asarray(v) for k, v in cols.items() if v}
+        if lists:
+            el["__list__"] = [[int(v) for v in l] for l in lists]
+        data[name] = el
+    return data
+
+
+def _ply_read_binary(f, elements, endian):
+    data = {}
+    for name, count, props in elements:
+        has_list = any(p[0] == "list" for p in props)
+        if not has_list:
+            dt = np.dtype([(p[2], endian + _PLY_DTYPES[p[1]]) for p in props])
+            arr = np.frombuffer(f.read(dt.itemsize * count), dtype=dt, count=count)
+            data[name] = {p[2]: arr[p[2]] for p in props}
+        else:
+            el = {p[2]: [] for p in props if p[0] == "scalar"}
+            lists = []
+            for _ in range(count):
+                for p in props:
+                    if p[0] == "list":
+                        cnt_dt = np.dtype(endian + _PLY_DTYPES[p[1]])
+                        n = int(np.frombuffer(f.read(cnt_dt.itemsize), cnt_dt)[0])
+                        item_dt = np.dtype(endian + _PLY_DTYPES[p[2]])
+                        vals = np.frombuffer(f.read(item_dt.itemsize * n), item_dt, n)
+                        lists.append([int(v) for v in vals])
+                    else:
+                        item_dt = np.dtype(endian + _PLY_DTYPES[p[1]])
+                        el[p[2]].append(
+                            np.frombuffer(f.read(item_dt.itemsize), item_dt)[0]
+                        )
+            el = {k: np.asarray(v) for k, v in el.items() if v}
+            el["__list__"] = lists
+            data[name] = el
+    return data
+
+
+def save_ply(path, scene: Scene, binary: bool = True):
+    """Write a Scene back to PLY with a per-face object_id property.
+
+    Serves the role of the reference's mesh_publisher republisher
+    (src/mesh_publisher.cpp) as an export path for external visualization.
+    """
+    verts = scene.verts.reshape(-1, 3)
+    n_v = verts.shape[0]
+    n_f = scene.n_triangles
+    faces = np.arange(n_v, dtype=np.int32).reshape(n_f, 3)
+    header = (
+        "ply\n"
+        + ("format binary_little_endian 1.0\n" if binary else "format ascii 1.0\n")
+        + f"element vertex {n_v}\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        f"element face {n_f}\n"
+        "property list uchar int vertex_indices\n"
+        "property int object_id\n"
+        "end_header\n"
+    )
+    with open(path, "wb") as f:
+        f.write(header.encode("ascii"))
+        if binary:
+            f.write(verts.astype("<f4").tobytes())
+            face_dt = np.dtype([("n", "u1"), ("i", "<i4", 3), ("obj", "<i4")])
+            rec = np.empty(n_f, face_dt)
+            rec["n"] = 3
+            rec["i"] = faces
+            rec["obj"] = scene.obj_ids
+            f.write(rec.tobytes())
+        else:
+            for v in verts:
+                f.write(f"{v[0]} {v[1]} {v[2]}\n".encode())
+            for face, obj in zip(faces, scene.obj_ids):
+                f.write(f"3 {face[0]} {face[1]} {face[2]} {obj}\n".encode())
+
+
+# ---------------------------------------------------------------- OBJ
+
+def _load_obj(path: Path, chunk_size: int) -> Scene:
+    verts = []
+    tris = []
+    obj_ids = []
+    names = []
+    current = 0
+    seen_any_group = False
+    with open(path, "r", errors="replace") as f:
+        for line in f:
+            t = line.split()
+            if not t:
+                continue
+            if t[0] == "v":
+                verts.append((float(t[1]), float(t[2]), float(t[3])))
+            elif t[0] in ("o", "g"):
+                name = t[1] if len(t) > 1 else f"object_{len(names)}"
+                if seen_any_group or tris:
+                    current = len(names)
+                names.append(name)
+                seen_any_group = True
+                current = len(names) - 1
+            elif t[0] == "f":
+                idx = [int(tok.split("/")[0]) for tok in t[1:]]
+                idx = [i - 1 if i > 0 else len(verts) + i for i in idx]
+                for k in range(1, len(idx) - 1):
+                    tris.append((idx[0], idx[k], idx[k + 1]))
+                    obj_ids.append(current)
+    v = np.asarray(verts, np.float32)
+    tri_idx = np.asarray(tris, np.int64)
+    return Scene(v[tri_idx], np.asarray(obj_ids, np.int32),
+                 names or None, chunk_size)
+
+
+# ---------------------------------------------------------------- STL
+
+def _load_stl(path: Path, chunk_size: int) -> Scene:
+    with open(path, "rb") as f:
+        head = f.read(80)
+        rest = f.read()
+    if head[:5].lower() == b"solid" and b"facet" in rest[:1000]:
+        tris = []
+        cur = []
+        for line in (head + rest).decode("ascii", "replace").splitlines():
+            t = line.split()
+            if t[:1] == ["vertex"]:
+                cur.append((float(t[1]), float(t[2]), float(t[3])))
+                if len(cur) == 3:
+                    tris.append(cur)
+                    cur = []
+        verts = np.asarray(tris, np.float32)
+    else:
+        n = struct.unpack("<I", rest[:4])[0]
+        dt = np.dtype([("n", "<f4", 3), ("v", "<f4", (3, 3)), ("attr", "<u2")])
+        rec = np.frombuffer(rest[4:4 + n * dt.itemsize], dt, n)
+        verts = np.ascontiguousarray(rec["v"], np.float32)
+    return Scene(verts, np.zeros(len(verts), np.int32), chunk_size=chunk_size)

@@ -1,0 +1,149 @@
+"""Procedural triangle-mesh primitives for tests, benchmarks and demo scenes.
+
+The reference ships binary mesh assets (PLY/DAE referenced from launch files);
+for self-contained tests and benchmarks we generate geometry instead.
+All functions return (T, 3, 3) float32 vertex arrays with outward-facing
+counter-clockwise winding.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _quad(a, b, c, d):
+    """Two CCW triangles for quad a-b-c-d."""
+    return np.array([[a, b, c], [a, c, d]], np.float32)
+
+
+def make_plane(center=(0, 0, 0), size=(1.0, 1.0), normal_axis=2, flip=False):
+    """Axis-aligned rectangle; normal along +axis (or - if flip)."""
+    cx, cy, cz = center
+    sx, sy = size[0] / 2.0, size[1] / 2.0
+    if normal_axis == 2:
+        pts = [(cx - sx, cy - sy, cz), (cx + sx, cy - sy, cz),
+               (cx + sx, cy + sy, cz), (cx - sx, cy + sy, cz)]
+    elif normal_axis == 1:
+        pts = [(cx - sx, cy, cz - sy), (cx - sx, cy, cz + sy),
+               (cx + sx, cy, cz + sy), (cx + sx, cy, cz - sy)]
+    else:
+        pts = [(cx, cy - sx, cz - sy), (cx, cy + sx, cz - sy),
+               (cx, cy + sx, cz + sy), (cx, cy - sx, cz + sy)]
+    tris = _quad(*pts)
+    if flip:
+        tris = tris[:, ::-1, :]
+    return tris
+
+
+def make_box(center=(0, 0, 0), size=(1.0, 1.0, 1.0)):
+    """Closed axis-aligned box, 12 triangles, outward normals."""
+    c = np.asarray(center, np.float32)
+    h = np.asarray(size, np.float32) / 2.0
+    x0, y0, z0 = c - h
+    x1, y1, z1 = c + h
+    p = {
+        (i, j, k): np.array(
+            [x0 if i == 0 else x1, y0 if j == 0 else y1, z0 if k == 0 else z1],
+            np.float32,
+        )
+        for i in (0, 1) for j in (0, 1) for k in (0, 1)
+    }
+    faces = [
+        # -x, +x
+        _quad(p[0, 0, 0], p[0, 0, 1], p[0, 1, 1], p[0, 1, 0]),
+        _quad(p[1, 0, 0], p[1, 1, 0], p[1, 1, 1], p[1, 0, 1]),
+        # -y, +y
+        _quad(p[0, 0, 0], p[1, 0, 0], p[1, 0, 1], p[0, 0, 1]),
+        _quad(p[0, 1, 0], p[0, 1, 1], p[1, 1, 1], p[1, 1, 0]),
+        # -z, +z
+        _quad(p[0, 0, 0], p[0, 1, 0], p[1, 1, 0], p[1, 0, 0]),
+        _quad(p[0, 0, 1], p[1, 0, 1], p[1, 1, 1], p[0, 1, 1]),
+    ]
+    return np.concatenate(faces, axis=0)
+
+
+def make_cylinder(center=(0, 0, 0), radius=1.0, height=1.0, segments=32,
+                  capped=True):
+    """Z-axis cylinder with outward normals."""
+    cx, cy, cz = center
+    z0, z1 = cz - height / 2.0, cz + height / 2.0
+    ang = np.linspace(0.0, 2.0 * np.pi, segments, endpoint=False)
+    xs = cx + radius * np.cos(ang)
+    ys = cy + radius * np.sin(ang)
+    tris = []
+    for i in range(segments):
+        j = (i + 1) % segments
+        a = (xs[i], ys[i], z0)
+        b = (xs[j], ys[j], z0)
+        c_ = (xs[j], ys[j], z1)
+        d = (xs[i], ys[i], z1)
+        tris.append(_quad(a, b, c_, d))
+        if capped:
+            tris.append(np.array([[(cx, cy, z1), c_, d]], np.float32)[:, ::-1, :])
+            tris.append(np.array([[(cx, cy, z0), a, b]], np.float32))
+    return np.concatenate(tris, axis=0)
+
+
+def make_icosphere(center=(0, 0, 0), radius=1.0, subdivisions=2):
+    """Icosphere with outward normals."""
+    t = (1.0 + np.sqrt(5.0)) / 2.0
+    verts = np.array(
+        [(-1, t, 0), (1, t, 0), (-1, -t, 0), (1, -t, 0),
+         (0, -1, t), (0, 1, t), (0, -1, -t), (0, 1, -t),
+         (t, 0, -1), (t, 0, 1), (-t, 0, -1), (-t, 0, 1)],
+        np.float64,
+    )
+    verts /= np.linalg.norm(verts, axis=-1, keepdims=True)
+    faces = np.array(
+        [(0, 11, 5), (0, 5, 1), (0, 1, 7), (0, 7, 10), (0, 10, 11),
+         (1, 5, 9), (5, 11, 4), (11, 10, 2), (10, 7, 6), (7, 1, 8),
+         (3, 9, 4), (3, 4, 2), (3, 2, 6), (3, 6, 8), (3, 8, 9),
+         (4, 9, 5), (2, 4, 11), (6, 2, 10), (8, 6, 7), (9, 8, 1)],
+        np.int64,
+    )
+    for _ in range(subdivisions):
+        new_faces = []
+        verts = list(verts)
+        midcache = {}
+
+        def mid(a, b):
+            key = (min(a, b), max(a, b))
+            if key not in midcache:
+                m = (np.asarray(verts[a]) + np.asarray(verts[b])) / 2.0
+                m /= np.linalg.norm(m)
+                verts.append(m)
+                midcache[key] = len(verts) - 1
+            return midcache[key]
+
+        for a, b, c in faces:
+            ab, bc, ca = mid(a, b), mid(b, c), mid(c, a)
+            new_faces += [(a, ab, ca), (b, bc, ab), (c, ca, bc), (ab, bc, ca)]
+        faces = np.array(new_faces, np.int64)
+        verts = np.array(verts, np.float64)
+    verts = verts * radius + np.asarray(center, np.float64)
+    return verts[faces].astype(np.float32)
+
+
+def make_urban_scene(n_buildings=60, extent=120.0, seed=0, ground=True):
+    """Procedural urban-like benchmark scene: ground plane + random boxes.
+
+    Stand-in for MulRan KAIST02-style large outdoor meshes; object 0 is the
+    ground, objects 1..n are buildings. Returns (parts, names).
+    """
+    rng = np.random.default_rng(seed)
+    parts = []
+    names = []
+    if ground:
+        parts.append(make_plane((0, 0, 0), (2 * extent, 2 * extent), 2))
+        names.append("ground")
+    for i in range(n_buildings):
+        w, d = rng.uniform(2.0, 14.0, 2)
+        h = rng.uniform(3.0, 25.0)
+        # keep a clearing around the sensor at the origin
+        while True:
+            x, y = rng.uniform(-extent, extent, 2)
+            if x * x + y * y > 15.0**2:
+                break
+        parts.append(make_box((x, y, h / 2.0), (w, d, h)))
+        names.append(f"building_{i}")
+    return parts, names

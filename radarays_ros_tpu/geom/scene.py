@@ -1,0 +1,203 @@
+"""Scene representation: flat triangle soup + object ids + material map.
+
+Replaces the reference's rmagine Embree/OptiX map import
+(src/radar_simulator.cpp:149,164) with a backend-neutral array form: the whole
+scene is a (T, 3, 3) float32 vertex tensor plus an int32 object id per
+triangle, and an object->material lookup table (the `object_materials` ROS
+param, Radar.cpp:220-226). Host-side state is NumPy; `device_arrays()`
+produces the jnp pytree consumed by the tracers, including precomputed
+plane-equation coefficients for the MXU tracer (trace/planes.py) and
+Morton-ordered chunks + AABBs for the culled tracers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Sequence
+
+import numpy as np
+
+
+class SceneArrays(NamedTuple):
+    """Device-side scene pytree (all jnp arrays once put on device)."""
+
+    verts: np.ndarray            # (T, 3, 3) triangle vertices
+    obj_ids: np.ndarray          # (T,) int32 object id per triangle
+    normals: np.ndarray          # (T, 3) unit geometric normals
+    planes_o: np.ndarray         # (4T, 4) plane rows for origin side: [n, offset]
+    planes_d: np.ndarray         # (4T, 3) plane normals for direction side
+    chunk_aabb_lo: np.ndarray    # (C, 3) chunk AABB minima
+    chunk_aabb_hi: np.ndarray    # (C, 3) chunk AABB maxima
+    chunk_size: int              # triangles per chunk (static)
+
+    @property
+    def n_triangles(self) -> int:
+        return self.verts.shape[0]
+
+    @property
+    def n_chunks(self) -> int:
+        return self.chunk_aabb_lo.shape[0]
+
+
+def _triangle_planes(verts: np.ndarray):
+    """Plane-equation form of Moller-Trumbore for the MXU tracer.
+
+    For each triangle (v0, v1, v2) with geometric normal n:
+      * support plane:  s0(x) = n.x - n.v0         (hit when s0(o) + t n.d = 0)
+      * 3 edge planes:  sk(x) = mk.x - mk.vk  with mk = n x (v_{k+1} - v_k),
+        oriented so points inside the triangle have sk >= 0.
+
+    A point p is inside iff s1(p), s2(p), s3(p) >= 0; the ray parameter is
+    t = -s0(o) / (n.d). Evaluating sk(o) and n_k.d for all (ray, plane) pairs
+    is two dense matmuls — that is what puts ray casting on the MXU.
+    """
+    v0, v1, v2 = verts[:, 0], verts[:, 1], verts[:, 2]
+    e1 = v1 - v0
+    e2 = v2 - v0
+    n = np.cross(e1, e2)
+    norm = np.linalg.norm(n, axis=-1, keepdims=True)
+    n_unit = n / np.maximum(norm, 1e-30)
+
+    edges = [(v0, v1), (v1, v2), (v2, v0)]
+    plane_normals = [n_unit]
+    plane_offsets = [-np.sum(n_unit * v0, axis=-1)]
+    for a, b in edges:
+        m = np.cross(n_unit, b - a)
+        mlen = np.linalg.norm(m, axis=-1, keepdims=True)
+        m = m / np.maximum(mlen, 1e-30)
+        plane_normals.append(m)
+        plane_offsets.append(-np.sum(m * a, axis=-1))
+
+    # interleave per triangle: [support, edge0, edge1, edge2]
+    N = np.stack(plane_normals, axis=1)          # (T, 4, 3)
+    O = np.stack(plane_offsets, axis=1)          # (T, 4)
+    planes_d = N.reshape(-1, 3).astype(np.float32)               # (4T, 3)
+    planes_o = np.concatenate(
+        [N.reshape(-1, 3), O.reshape(-1, 1)], axis=-1
+    ).astype(np.float32)                                          # (4T, 4)
+    return n_unit.astype(np.float32), planes_o, planes_d
+
+
+def _morton_order(centers: np.ndarray) -> np.ndarray:
+    """Sort key: 30-bit 3D Morton code of quantized triangle centroids."""
+    lo = centers.min(axis=0)
+    hi = centers.max(axis=0)
+    q = ((centers - lo) / np.maximum(hi - lo, 1e-12) * 1023.0).astype(np.uint32)
+
+    def spread(x):
+        x = x.astype(np.uint64)
+        x = (x | (x << 16)) & np.uint64(0x030000FF)
+        x = (x | (x << 8)) & np.uint64(0x0300F00F)
+        x = (x | (x << 4)) & np.uint64(0x030C30C3)
+        x = (x | (x << 2)) & np.uint64(0x09249249)
+        return x
+
+    code = spread(q[:, 0]) | (spread(q[:, 1]) << np.uint64(1)) | (
+        spread(q[:, 2]) << np.uint64(2)
+    )
+    return np.argsort(code, kind="stable")
+
+
+@dataclasses.dataclass
+class Scene:
+    """Host-side scene: triangle soup + per-triangle object ids.
+
+    `object_materials[obj_id]` gives the material id of an object, as in the
+    reference's `object_materials` param (config/mulran_kaist02.yaml,
+    Radar.cpp:224).
+    """
+
+    verts: np.ndarray                 # (T, 3, 3) float32
+    obj_ids: np.ndarray               # (T,) int32
+    object_names: Optional[Sequence[str]] = None
+    chunk_size: int = 256
+
+    def __post_init__(self):
+        self.verts = np.ascontiguousarray(self.verts, dtype=np.float32)
+        self.obj_ids = np.ascontiguousarray(self.obj_ids, dtype=np.int32)
+        if self.verts.ndim != 3 or self.verts.shape[1:] != (3, 3):
+            raise ValueError(f"verts must be (T,3,3), got {self.verts.shape}")
+        if self.obj_ids.shape != (self.verts.shape[0],):
+            raise ValueError("obj_ids must be (T,)")
+
+    @property
+    def n_triangles(self) -> int:
+        return self.verts.shape[0]
+
+    @property
+    def n_objects(self) -> int:
+        return int(self.obj_ids.max()) + 1 if self.n_triangles else 0
+
+    def transformed(self, R: np.ndarray, t: np.ndarray) -> "Scene":
+        """Rigidly transform the scene (pre_transform of mesh_publisher.cpp)."""
+        v = self.verts.reshape(-1, 3) @ np.asarray(R, np.float32).T + np.asarray(
+            t, np.float32
+        )
+        return Scene(v.reshape(-1, 3, 3), self.obj_ids.copy(), self.object_names,
+                     self.chunk_size)
+
+    def device_arrays(self) -> SceneArrays:
+        """Build the flattened, Morton-chunked device representation.
+
+        Uses the native C++ builder (native/) when available, else NumPy.
+        Triangles are sorted by Morton code of their centroid and padded with
+        degenerate far-away triangles to a multiple of chunk_size so chunk
+        AABB culling sees spatially coherent blocks.
+        """
+        from radarays_ros_tpu.native import builder as native_builder
+
+        verts, obj_ids = self.verts, self.obj_ids
+        if self.n_triangles == 0:
+            raise ValueError("empty scene")
+
+        order = native_builder.morton_order(
+            verts.mean(axis=1)
+        ) if native_builder.available() else _morton_order(verts.mean(axis=1))
+        verts = verts[order]
+        obj_ids = obj_ids[order]
+
+        # pad to a multiple of chunk_size with far-away degenerate triangles
+        T = verts.shape[0]
+        C = -(-T // self.chunk_size)
+        pad = C * self.chunk_size - T
+        if pad:
+            far = np.full((pad, 3, 3), 1e8, np.float32)
+            # tiny offsets keep normals finite
+            far[:, 1, 0] += 1.0
+            far[:, 2, 1] += 1.0
+            verts = np.concatenate([verts, far], axis=0)
+            obj_ids = np.concatenate(
+                [obj_ids, np.full((pad,), INVALID_OBJ_ID, np.int32)]
+            )
+
+        normals, planes_o, planes_d = _triangle_planes(verts)
+
+        chunks = verts.reshape(C, self.chunk_size, 3, 3)
+        lo = chunks.min(axis=(1, 2))
+        hi = chunks.max(axis=(1, 2))
+
+        return SceneArrays(
+            verts=verts,
+            obj_ids=obj_ids,
+            normals=normals,
+            planes_o=planes_o,
+            planes_d=planes_d,
+            chunk_aabb_lo=lo.astype(np.float32),
+            chunk_aabb_hi=hi.astype(np.float32),
+            chunk_size=self.chunk_size,
+        )
+
+    @staticmethod
+    def compose(parts: Sequence[np.ndarray], names: Optional[Sequence[str]] = None,
+                chunk_size: int = 256) -> "Scene":
+        """Build a scene from a list of per-object (Ti, 3, 3) vertex arrays."""
+        verts = np.concatenate(parts, axis=0).astype(np.float32)
+        obj_ids = np.concatenate(
+            [np.full((p.shape[0],), i, np.int32) for i, p in enumerate(parts)]
+        )
+        return Scene(verts, obj_ids, names, chunk_size)
+
+
+# Sentinel for "no hit" object ids; the reference flags invalid hits with
+# obj_id > 10000 (radar_algorithms.cpp:29, RadarCPU.cpp:252).
+INVALID_OBJ_ID = np.int32(2**31 - 1)

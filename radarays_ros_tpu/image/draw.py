@@ -1,0 +1,141 @@
+"""Signal drawing: (time, strength) pairs -> polar range/azimuth image.
+
+TPU-shaped rebuild of the reference's per-signal splat loops
+(RadarCPU.cpp:402-450 CPU; radar_algorithms.cu:730-849 draw_signals kernel):
+
+  * All azimuth columns are processed at once: signals arrive as dense
+    (A, N) arrays with a validity mask.
+  * Range binning: cell = floor((0.3 * t / 2) / resolution)
+    (RadarCPU.cpp:410-413); signals with cell >= n_cells are dropped.
+  * Denoising splat: instead of scattering W kernel taps per signal, we
+    point-scatter each signal's strength into its cell and then run ONE 1-D
+    cross-correlation with the kernel along the range axis — mathematically
+    identical (the splat is linear) and far friendlier to XLA than a
+    (A, N, W) scatter. The reference's `glob_id > 0` guard
+    (RadarCPU.cpp:423-424) — which silently never writes range cell 0 — is
+    reproduced by zeroing row 0 after the convolution.
+  * No-denoise mode max-combines signals per cell (RadarCPU.cpp:434-448)
+    via a masked scatter-max.
+  * Ambient noise + normalization follow RadarCPU.cpp:453-542 exactly
+    (signal-adaptive amplitude, exponential range floor, per-column
+    signal_max/max_val scaling), with the Perlin scales/fractions taken from
+    the config (the CPU reference hardcodes 0.05/0.2/0.9 at
+    RadarCPU.cpp:468-493; our defaults equal those values).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from radarays_ros_tpu.image.perlin import perlin_noise
+
+
+def bin_cells(times, resolution):
+    """Range cell index for signal times: (0.3 [m/ns] * t / 2) / resolution."""
+    signal_dist = 0.3 * times / 2.0
+    return (signal_dist / resolution).astype(jnp.int32)
+
+
+def draw_signals(times, strengths, valid, *, n_cells: int, resolution,
+                 denoise_weights=None, denoise_mode: int = 0):
+    """Draw per-azimuth signal lists into an (A, n_cells) float image.
+
+    Args:
+      times:     (A, N) signal round-trip times [ns].
+      strengths: (A, N) signal strengths.
+      valid:     (A, N) bool mask.
+      denoise_weights: static (W,) kernel (mode tap scaled to 1.0) or None.
+      denoise_mode: integer mode offset of the kernel.
+
+    Returns (image (A, n_cells) float32, max_val (A,)) where max_val is the
+    per-column maximum BEFORE any energy_max scaling, matching the running
+    max of RadarCPU.cpp:404-448.
+    """
+    A, N = times.shape
+    cell = bin_cells(times, resolution)
+    ok = valid & (cell >= 0) & (cell < n_cells)
+    cell_c = jnp.where(ok, cell, 0)
+    az = jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32)[:, None], (A, N))
+
+    if denoise_weights is not None:
+        w = jnp.asarray(denoise_weights, jnp.float32)
+        W = w.shape[0]
+        s = jnp.where(ok, strengths, 0.0)
+        point = jnp.zeros((A, n_cells), jnp.float32).at[az, cell_c].add(s)
+        # correlate so out[cell + k - mode] += strength * w[k]
+        img = jax.lax.conv_general_dilated(
+            point[:, None, :],
+            w[::-1][None, None, :],
+            window_strides=(1,),
+            padding=[(W - 1 - denoise_mode, denoise_mode)],
+        )[:, 0, :]
+        # reference never writes range cell 0 in denoise mode (glob_id > 0)
+        img = img.at[:, 0].set(0.0)
+    else:
+        s = jnp.where(ok, strengths, -jnp.inf)
+        img = jnp.zeros((A, n_cells), jnp.float32).at[az, cell_c].max(s)
+        img = jnp.maximum(img, 0.0)
+
+    max_val = jnp.max(img, axis=-1)
+    return img, max_val
+
+
+def apply_ambient_noise(img, max_val, cols, key, *, mode: int, resolution,
+                        at_signal_0, at_signal_1, energy_max, energy_min,
+                        energy_loss, perlin_scale_low=0.05,
+                        perlin_scale_high=0.2, perlin_p_low=0.9):
+    """Add signal-adaptive ambient noise to an (A, n_cells) image.
+
+    `img` must already be scaled by cfg.energy_max (RadarCPU.cpp:453), while
+    `max_val` is the pre-scaling per-column max — that asymmetry is the
+    reference's (RadarCPU.cpp:453-533): energy_max < 1 lowers the signal
+    relative to the noise floor.
+
+    mode: 0=none, 1=uniform, 2=two-octave Perlin (cfg/RadarModel.cfg:54-60).
+    cols: (A,) actual image column per azimuth (the Perlin y coordinate,
+    RadarCPU.cpp:487).
+    """
+    if mode == 0:
+        return img
+    A, n_cells = img.shape
+    k_begin, k_uni = jax.random.split(key)
+    i = jnp.arange(n_cells, dtype=jnp.float32)[None, :]
+
+    if mode == 1:
+        p = jax.random.uniform(k_uni, (A, n_cells), jnp.float32)
+    else:
+        random_begin = (
+            jax.random.uniform(k_begin, (A, 1), jnp.float32) * 1000.0
+        )
+        y = cols.astype(jnp.float32)[:, None]
+        p1 = perlin_noise(random_begin + i * perlin_scale_low,
+                          y * perlin_scale_low)
+        p2 = perlin_noise(random_begin + i * perlin_scale_high,
+                          y * perlin_scale_high)
+        p = perlin_p_low * p1 + (1.0 - perlin_p_low) * p2
+
+    amp = max_val[:, None]
+    safe_amp = jnp.where(amp > 0.0, amp, 1.0)
+    signal_frac = 1.0 - img / safe_amp
+    signal_4 = jnp.power(signal_frac, 4.0)
+    noise_amp = signal_4 * (amp * at_signal_0) + (1.0 - signal_4) * (amp * at_signal_1)
+
+    x = (i + 0.5) * resolution
+    noise_e_max = amp * energy_max
+    noise_e_min = amp * energy_min
+    y_noise = noise_amp * p
+    y_noise = y_noise + (noise_e_max - noise_e_min) * jnp.exp(-energy_loss * x) + noise_e_min
+    return img + jnp.abs(y_noise)
+
+
+def normalize_to_u8(img, max_val, signal_max):
+    """Per-column scale to signal_max/max_val and saturate-cast to uint8.
+
+    RadarCPU.cpp:533-542 (slice *= signal_max / max_val; convertTo CV_8UC1).
+    Columns with no signal (max_val == 0) come out all-zero instead of the
+    reference's NaN division.
+    """
+    scale = jnp.where(max_val > 0.0, signal_max / jnp.where(max_val > 0.0, max_val, 1.0), 0.0)
+    out = img * scale[:, None]
+    return jnp.clip(jnp.round(out), 0.0, 255.0).astype(jnp.uint8)

@@ -1,0 +1,260 @@
+"""The jitted end-to-end radar frame: pose(s) -> uint8 polar image.
+
+This is the TPU re-architecture of both reference engines:
+
+  * RadarCPU::simulate (RadarCPU.cpp:30-564) — per-azimuth OpenMP loop,
+    dynamic wave lists, energy pruning, full noise model;
+  * RadarGPU::simulate (RadarGPU.cpp:32-867) — whole-scan batching, 3
+    hardcoded passes, x2 buffer doubling, hit masks, no multipath.
+
+The TPU pipeline takes the GPU engine's dense shape and generalizes it to the
+CPU engine's full semantics: a static python loop over `n_reflections`
+bounces; each pass holds a dense (n_angles, n_samples * 2^pass) wave tensor
+with validity masks (energy pruning = mask clears); each pass emits up to two
+signals per wave (path return, RadarCPU.cpp:319-323; air-path multipath
+return, RadarCPU.cpp:325-360) into dense signal arrays that are scatter-drawn
+into the polar image at the end. One frame — cone sampling, every bounce,
+shading, binning, denoising, ambient noise, normalization — is ONE jitted XLA
+program with static shapes throughout.
+
+Differentiability: the image is differentiable w.r.t. material properties and
+beam width (through signal strengths/times); used by opti/.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from radarays_ros_tpu.geom.scene import SceneArrays
+from radarays_ros_tpu.image.draw import (
+    apply_ambient_noise,
+    draw_signals,
+    normalize_to_u8,
+)
+from radarays_ros_tpu.sim.config import RadarModelConfig, RadarParams
+from radarays_ros_tpu.trace.api import trace
+from radarays_ros_tpu.utils.transforms import azimuth_angles, pose_matrix, rotz
+from radarays_ros_tpu.wave.cone import sample_cone_local
+from radarays_ros_tpu.wave.fresnel import (
+    back_reflection_shader,
+    cook_torrance_shader,
+    fresnel_split,
+    get_incidence_angle,
+)
+from radarays_ros_tpu.wave.types import Waves, broadcast_waves, make_start_wave_attrs
+
+
+class FrameResult(NamedTuple):
+    image_u8: jnp.ndarray     # (n_cells, n_angles) uint8 polar image
+    image_float: jnp.ndarray  # (n_angles, n_cells) float32 pre-quantization
+    max_val: jnp.ndarray      # (n_angles,) per-column raw signal maximum
+
+
+def _shade(cfg: RadarModelConfig, params: RadarParams, mat_id, angle, energy):
+    """Back-reflection shading with the configured reflection model.
+
+    Blinn-Phong-polynomial call-site convention: material (ambient, diffuse,
+    specular) -> shader (diffuse, specular_fac, specular_exp)
+    (RadarCPU.cpp:310-316). The cook_torrance option reuses the same table as
+    (k_diffuse=ambient, roughness=diffuse, f0 from specular) for dev/flex
+    parity via the unchanged material API.
+    """
+    m = params.materials
+    if cfg.reflection_model == "cook_torrance":
+        return cook_torrance_shader(
+            angle, energy,
+            roughness=jnp.maximum(m.diffuse[mat_id], 1e-3),
+            fresnel_f0=jnp.clip(m.specular[mat_id] / 3000.0, 0.0, 1.0),
+            k_diffuse=jnp.clip(m.ambient[mat_id], 0.0, 1.0),
+        )
+    return back_reflection_shader(
+        angle, energy,
+        diffuse=m.ambient[mat_id],
+        specular_fac=m.diffuse[mat_id],
+        specular_exp=m.specular[mat_id],
+    )
+
+
+def _bounce(cfg: RadarModelConfig, params: RadarParams, scene: SceneArrays,
+            waves: Waves, sensor_pos, pass_id: int):
+    """One reflect/refract pass over a dense wave tensor.
+
+    Returns (next_waves with doubled sample axis, signal times/strengths/valid
+    arrays of shape (A, N) per signal kind).
+    """
+    A, N = waves.batch_shape
+
+    res = trace(
+        scene, waves.orig, waves.dir,
+        engine=cfg.trace_engine,
+        t_min=0.0,
+        t_max=1000.0,
+        ray_block=cfg.trace_ray_block,
+        **({"tri_chunk": cfg.trace_tri_chunk} if cfg.trace_engine == "mxu" else {}),
+        **({"k_chunks": cfg.trace_k_chunks} if cfg.trace_engine in ("culled", "pallas") else {}),
+    )
+
+    alive = waves.valid & res.hit
+    safe_t = jnp.where(alive, res.t, 0.0)
+    incidence = waves.move(safe_t)
+
+    # material flip: air -> hit object's material, material -> air
+    # (RadarCPU.cpp:264-271)
+    in_air = waves.material_id == cfg.material_id_air
+    obj = jnp.clip(res.obj_id, 0, params.object_materials.shape[0] - 1)
+    refr_mat = jnp.where(in_air, params.object_materials[obj], cfg.material_id_air)
+    same = refr_mat == waves.material_id
+    v2 = jnp.where(same, waves.velocity, params.materials.velocity[refr_mat])
+
+    fres = fresnel_split(
+        res.normal, waves.dir, incidence.energy, incidence.polarization,
+        incidence.velocity, v2,
+    )
+
+    thresh = cfg.wave_energy_threshold
+
+    # --- reflection child (stays in the incidence medium)
+    refl_valid = alive & (fres.reflection_energy > thresh)
+    reflection = incidence._replace(
+        dir=fres.reflection_dir,
+        energy=fres.reflection_energy,
+        valid=refl_valid,
+    ).move(cfg.skip_dist)
+
+    # --- refraction child (enters the refraction medium)
+    refr_dir_ok = jnp.sum(fres.refraction_dir * fres.refraction_dir, axis=-1) > 0.25
+    refr_valid = alive & (fres.refraction_energy > thresh) & refr_dir_ok
+    refraction = incidence._replace(
+        dir=fres.refraction_dir,
+        energy=fres.refraction_energy,
+        velocity=jnp.where(refr_valid, v2, incidence.velocity),
+        material_id=jnp.where(refr_valid, refr_mat, incidence.material_id),
+        valid=refr_valid,
+    ).move(cfg.skip_dist)
+
+    # --- path-return signal (RadarCPU.cpp:302-323): only waves in air, only
+    # recorded on pass 0 unless record_multi_reflection.
+    inc_angle = get_incidence_angle(res.normal, waves.dir)
+    ret_energy = _shade(cfg, params, refr_mat, inc_angle, fres.reflection_energy)
+    sig_gate = refl_valid & in_air
+    record_path = (pass_id == 0) or cfg.record_multi_reflection
+    path_valid = sig_gate & bool(record_path)
+    path_time = incidence.time * 2.0
+    path_strength = ret_energy
+
+    signals = [(path_time, path_strength, path_valid)]
+
+    # --- multipath air-return signal (RadarCPU.cpp:325-360): hit reflects
+    # straight through air back to the sensor.
+    if cfg.record_multi_path and pass_id > 0:
+        to_sensor = incidence.orig - sensor_pos[:, None, :]
+        dist = jnp.linalg.norm(to_sensor, axis=-1)
+        dir_s2h = to_sensor / jnp.maximum(dist, 1e-12)[..., None]
+        time_to_sensor = dist / reflection.velocity
+        view_scalar = jnp.sum(waves.dir * dir_s2h, axis=-1)
+        angle_air = jnp.arccos(jnp.clip(
+            jnp.sum(-fres.reflection_dir * dir_s2h, axis=-1), -1.0, 1.0))
+        air_energy = _shade(cfg, params, refr_mat, angle_air, fres.reflection_energy)
+        air_valid = sig_gate & (view_scalar > cfg.multipath_threshold)
+        signals.append((incidence.time + time_to_sensor, air_energy, air_valid))
+
+    next_waves = jax.tree_util.tree_map(
+        lambda a, b: jnp.concatenate([a, b], axis=1), reflection, refraction
+    )
+    return next_waves, signals
+
+
+def simulate_frame(scene: SceneArrays, params: RadarParams,
+                   cfg: RadarModelConfig, poses, key) -> FrameResult:
+    """Simulate one full rotating radar frame.
+
+    Args:
+      scene:  device scene arrays (Scene.device_arrays()).
+      params: dynamic RadarParams (materials, object_materials, beam_width).
+      cfg:    static RadarModelConfig (hashable; jit static argument).
+      poses:  (7,) single sensor pose, or (n_angles, 7) per-azimuth poses
+              (include_motion equivalent, RadarCPU.cpp:190-196).
+      key:    jax PRNG key (split into cone + noise streams), or an explicit
+              (cone_key, noise_key) tuple so the caller can hold the cone
+              stream fixed across frames (the reference's cached
+              m_waves_start, RadarCPU.cpp:136-145) while refreshing noise.
+
+    Returns FrameResult with the (n_cells, n_angles) uint8 polar image.
+    """
+    A = cfg.n_angles
+    S = cfg.n_samples
+    if isinstance(key, (tuple, list)):
+        key_cone, key_noise = key
+    else:
+        key_cone, key_noise = jax.random.split(jnp.asarray(key))
+
+    poses = jnp.asarray(poses, jnp.float32)
+    if poses.ndim == 1:
+        poses = jnp.broadcast_to(poses[None, :], (A, 7))
+
+    # transmit cone in the beam-local frame (RadarCPU.cpp:136-145)
+    local_dirs = sample_cone_local(
+        key_cone, params.beam_width, S, cfg.beam_sample_dist,
+        cfg.beam_sample_dist_normal_p_in_cone,
+    )  # (S, 3)
+
+    # beam frame -> map frame: R_am = R_sm @ Rz(theta_a) (RadarCPU.cpp:198-209)
+    R_sm, t_sm = pose_matrix(poses)            # (A, 3, 3), (A, 3)
+    R_as = rotz(azimuth_angles(A))             # (A, 3, 3)
+    R_am = R_sm @ R_as
+    dirs0 = jnp.einsum("aij,sj->asi", R_am, local_dirs)
+    sensor_pos = t_sm + jnp.array([0.0, 0.0, cfg.z_offset], jnp.float32)
+
+    waves = broadcast_waves(
+        sensor_pos[:, None, :], dirs0, make_start_wave_attrs(
+            material_id=cfg.material_id_air,
+        ), (A, S),
+    )
+
+    all_times, all_strengths, all_valid = [], [], []
+    for pass_id in range(cfg.n_reflections):
+        waves, signals = _bounce(cfg, params, scene, waves, sensor_pos, pass_id)
+        for t, s, v in signals:
+            all_times.append(t)
+            all_strengths.append(s)
+            all_valid.append(v)
+
+    times = jnp.concatenate(all_times, axis=1)
+    strengths = jnp.concatenate(all_strengths, axis=1)
+    valid = jnp.concatenate(all_valid, axis=1)
+
+    weights, mode = cfg.denoiser()
+    img, max_val = draw_signals(
+        times, strengths, valid,
+        n_cells=cfg.n_cells, resolution=cfg.resolution,
+        denoise_weights=weights, denoise_mode=mode,
+    )
+
+    img = img * cfg.energy_max  # RadarCPU.cpp:453
+
+    cols = (cfg.scroll_image + jnp.arange(A, dtype=jnp.int32)) % A
+    img = apply_ambient_noise(
+        img, max_val, cols, key_noise,
+        mode=cfg.ambient_noise,
+        resolution=cfg.resolution,
+        at_signal_0=cfg.ambient_noise_at_signal_0,
+        at_signal_1=cfg.ambient_noise_at_signal_1,
+        energy_max=cfg.ambient_noise_energy_max,
+        energy_min=cfg.ambient_noise_energy_min,
+        energy_loss=cfg.ambient_noise_energy_loss,
+        perlin_scale_low=cfg.ambient_noise_perlin_scale_low,
+        perlin_scale_high=cfg.ambient_noise_perlin_scale_high,
+        perlin_p_low=cfg.ambient_noise_perlin_p_low,
+    )
+
+    image_u8 = normalize_to_u8(img, max_val, cfg.signal_max)
+
+    # place azimuth a at column (scroll_image + a) % A (RadarCPU.cpp:457,542)
+    image_u8 = jnp.zeros_like(image_u8).at[cols].set(image_u8).T
+    return FrameResult(image_u8=image_u8, image_float=img, max_val=max_val)
+
+
+simulate_frame_jit = jax.jit(simulate_frame, static_argnames=("cfg",))

@@ -1,0 +1,112 @@
+"""`Radar` — the stateful simulator front-end.
+
+Counterpart of the reference's `Radar` base class + engines
+(include/radarays_ros/Radar.hpp:34-107, src/radarays_ros/Radar.cpp): owns the
+scene, the material/parameter state, the runtime configuration, and a pose
+source; `simulate(pose)` produces one polar image. Differences by design:
+
+  * There is no CPU/GPU engine split — one jitted XLA pipeline serves every
+    scene size, with the trace engine selected in the config.
+  * TF lookups become explicit pose arguments (a (7,) pose or a per-azimuth
+    (n_angles, 7) pose array for include_motion); the last-pose fallback of
+    Radar.cpp:102-121 becomes `simulate()` with no argument reusing the last
+    pose.
+  * dynamic_reconfigure becomes `update_config` / `update_params`
+    (Radar.cpp:188-218): beam-shape changes re-seed the cone sampling key,
+    reproducing the m_resample trigger (Radar.cpp:199-206).
+  * The PRNG is an explicit jax key: `simulate(..., reseed=True)` draws new
+    noise each frame like the reference's std::random_device; by default the
+    noise key advances per frame deterministically.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+
+from radarays_ros_tpu.geom.scene import Scene
+from radarays_ros_tpu.sim.config import Materials, RadarModelConfig, RadarParams
+from radarays_ros_tpu.sim.pipeline import FrameResult, simulate_frame_jit
+from radarays_ros_tpu.utils.transforms import identity_pose
+
+
+class Radar:
+    def __init__(
+        self,
+        scene: Scene,
+        params: Optional[RadarParams] = None,
+        cfg: Optional[RadarModelConfig] = None,
+        seed: int = 0,
+    ):
+        self.scene = scene
+        self._scene_arrays = jax.tree_util.tree_map(
+            lambda x: x, scene.device_arrays()
+        )
+        if params is None:
+            from radarays_ros_tpu.sim.config import default_params
+
+            params, default_cfg = default_params(scene.n_objects)
+            cfg = cfg or default_cfg
+        self.params = params
+        self.cfg = cfg or RadarModelConfig()
+        key = jax.random.PRNGKey(seed)
+        self._cone_key, self._noise_key = jax.random.split(key)
+        self._last_pose = identity_pose()
+
+    # ------------------------------------------------------------ config
+
+    def update_config(self, **kwargs) -> None:
+        """Runtime reconfigure (dynamic_reconfigure equivalent).
+
+        Beam-shape parameters trigger cone resampling (Radar.cpp:199-206).
+        """
+        resample_keys = {"beam_sample_dist", "n_samples",
+                         "beam_sample_dist_normal_p_in_cone"}
+        if resample_keys & set(kwargs):
+            self.resample()
+        self.cfg = self.cfg.replace(**kwargs)
+
+    def update_params(self, params: RadarParams, resample: bool = False) -> None:
+        self.params = params
+        if resample:
+            self.resample()
+
+    def resample(self) -> None:
+        """Draw a fresh cone-sampling key (m_resample = true)."""
+        self._cone_key, _ = jax.random.split(jax.random.fold_in(self._cone_key, 1))
+
+    def load_materials(self, entries, object_materials) -> None:
+        """loadParams() equivalent (Radar.cpp:220-226)."""
+        self.params = self.params._replace(
+            materials=Materials.from_list(entries),
+            object_materials=np.asarray(object_materials, np.int32),
+        )
+
+    # ------------------------------------------------------------ simulate
+
+    def simulate(self, pose=None, *, reseed: bool = True) -> FrameResult:
+        """Simulate one frame at the given sensor pose.
+
+        pose: (7,) [t, q_xyzw] map<-sensor pose, or (n_angles, 7) per-azimuth
+        poses, or None to reuse the last pose (TF-failure fallback,
+        Radar.cpp:102-121).
+        """
+        if pose is None:
+            pose = self._last_pose
+        self._last_pose = np.asarray(pose, np.float32)
+        if reseed:
+            self._noise_key, sub = jax.random.split(self._noise_key)
+        else:
+            sub = self._noise_key
+        import jax.numpy as jnp
+
+        return simulate_frame_jit(
+            self._scene_arrays, self.params, self.cfg,
+            jnp.asarray(pose, jnp.float32), (self._cone_key, sub),
+        )
+
+    def simulate_image(self, pose=None, **kwargs) -> np.ndarray:
+        """Convenience: uint8 (n_cells, n_angles) numpy polar image."""
+        return np.asarray(self.simulate(pose, **kwargs).image_u8)

@@ -1,0 +1,121 @@
+"""Tracer tests: geometric golden values + engine parity (brute is oracle)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from radarays_ros_tpu.geom.primitives import make_box, make_plane, make_icosphere
+from radarays_ros_tpu.geom.scene import INVALID_OBJ_ID, Scene
+from radarays_ros_tpu.trace.api import trace
+
+
+def _rays_from_origin(n, rng, orig=(0.0, 0.0, 0.0)):
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o = np.broadcast_to(np.asarray(orig, np.float32), (n, 3))
+    return jnp.asarray(o, jnp.float32), jnp.asarray(d, jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def wall_scene():
+    # wall at x = 5, facing -x (toward origin)
+    wall = make_plane((5.0, 0, 0), (10.0, 10.0), normal_axis=0)
+    return Scene.compose([wall], ["wall"], chunk_size=4)
+
+
+@pytest.mark.parametrize("engine", ["brute", "mxu", "culled"])
+def test_axis_hit_distance(wall_scene, engine):
+    sa = wall_scene.device_arrays()
+    o = jnp.array([[0.0, 0.0, 0.0]])
+    d = jnp.array([[1.0, 0.0, 0.0]])
+    res = trace(sa, o, d, engine=engine)
+    assert bool(res.hit[0])
+    assert float(res.t[0]) == pytest.approx(5.0, abs=1e-4)
+    # normal oriented against the ray
+    np.testing.assert_allclose(np.asarray(res.normal[0]), [-1, 0, 0], atol=1e-5)
+    assert int(res.obj_id[0]) == 0
+
+
+@pytest.mark.parametrize("engine", ["brute", "mxu", "culled"])
+def test_miss(wall_scene, engine):
+    sa = wall_scene.device_arrays()
+    o = jnp.array([[0.0, 0.0, 0.0]])
+    d = jnp.array([[-1.0, 0.0, 0.0]])
+    res = trace(sa, o, d, engine=engine)
+    assert not bool(res.hit[0])
+    assert not np.isfinite(float(res.t[0]))
+    assert int(res.obj_id[0]) == INVALID_OBJ_ID
+
+
+def test_nearest_of_stacked_walls():
+    near = make_plane((3.0, 0, 0), (10.0, 10.0), normal_axis=0)
+    far = make_plane((7.0, 0, 0), (10.0, 10.0), normal_axis=0)
+    scene = Scene.compose([far, near], ["far", "near"], chunk_size=4)
+    sa = scene.device_arrays()
+    res = trace(sa, jnp.zeros((1, 3)), jnp.array([[1.0, 0, 0]]), engine="brute")
+    assert float(res.t[0]) == pytest.approx(3.0, abs=1e-4)
+    assert int(res.obj_id[0]) == 1
+
+
+def test_sphere_hit_distance_analytic(rng):
+    sphere = make_icosphere((10.0, 0, 0), radius=2.0, subdivisions=4)
+    scene = Scene.compose([sphere], ["sphere"], chunk_size=64)
+    sa = scene.device_arrays()
+    res = trace(sa, jnp.zeros((1, 3)), jnp.array([[1.0, 0, 0]]), engine="mxu")
+    # faceted sphere: generous tolerance
+    assert float(res.t[0]) == pytest.approx(8.0, abs=0.05)
+
+
+@pytest.mark.parametrize("engine", ["mxu", "culled"])
+def test_engine_parity_random_rays(box_scene, engine, rng):
+    sa = box_scene.device_arrays()
+    o, d = _rays_from_origin(256, rng)
+    ref = trace(sa, o, d, engine="brute")
+    got = trace(sa, o, d, engine=engine, **(
+        {"k_chunks": sa.n_chunks} if engine == "culled" else {}
+    ))
+    np.testing.assert_array_equal(np.asarray(ref.hit), np.asarray(got.hit))
+    np.testing.assert_allclose(
+        np.asarray(ref.t)[np.asarray(ref.hit)],
+        np.asarray(got.t)[np.asarray(ref.hit)], rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(ref.obj_id), np.asarray(got.obj_id))
+    np.testing.assert_allclose(np.asarray(ref.normal), np.asarray(got.normal),
+                               atol=1e-4)
+
+
+def test_culled_small_k_still_finds_near_hits(rng):
+    from radarays_ros_tpu.geom.primitives import make_urban_scene
+
+    parts, names = make_urban_scene(n_buildings=24, extent=60.0, seed=3)
+    scene = Scene.compose(parts, names, chunk_size=16)
+    sa = scene.device_arrays()
+    assert sa.n_chunks >= 12
+    # coherent, mostly-horizontal rays from the sensor clearing
+    az = rng.uniform(0, 2 * np.pi, 256)
+    el = rng.uniform(-0.05, 0.05, 256)
+    d = np.stack([np.cos(el) * np.cos(az), np.cos(el) * np.sin(az), np.sin(el)], -1)
+    o = np.broadcast_to(np.array([0, 0, 2.0], np.float32), (256, 3))
+    o, d = jnp.asarray(o, jnp.float32), jnp.asarray(d, jnp.float32)
+    ref = trace(sa, o, d, engine="brute")
+    got = trace(sa, o, d, engine="culled", k_chunks=max(4, sa.n_chunks // 4))
+    hit = np.asarray(ref.hit)
+    # nearly all hits must survive aggressive culling on coherent blocks
+    agree = np.mean(np.isclose(np.asarray(ref.t)[hit], np.asarray(got.t)[hit],
+                               rtol=1e-4, atol=1e-3))
+    assert agree > 0.95
+
+
+def test_rays_inside_closed_box_always_hit(box_scene, rng):
+    sa = box_scene.device_arrays()
+    o, d = _rays_from_origin(512, rng)
+    res = trace(sa, o, d, engine="mxu")
+    assert np.all(np.asarray(res.hit))
+
+
+def test_batched_shape_passthrough(box_scene):
+    sa = box_scene.device_arrays()
+    o = jnp.zeros((4, 8, 3))
+    d = jnp.broadcast_to(jnp.array([1.0, 0, 0]), (4, 8, 3))
+    res = trace(sa, o, d, engine="mxu")
+    assert res.hit.shape == (4, 8)
+    assert res.normal.shape == (4, 8, 3)
