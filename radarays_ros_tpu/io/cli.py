@@ -1,0 +1,221 @@
+"""Command-line entry points — the reference's ROS nodes as CLI tools.
+
+`python -m radarays_ros_tpu.io.cli <command>`:
+
+  * `simulate`  — the `radar_simulator` node (src/radar_simulator.cpp:98-224):
+                  load mesh + scene config + preset, then either free-run N
+                  frames at a fixed pose/trajectory (the 100 Hz loop,
+                  radar_simulator.cpp:195-213) or sync-replay the stamps of a
+                  trajectory file (the sync_topic mode,
+                  radar_simulator.cpp:83-96). Frames go to PNG/NPY files
+                  instead of a ROS topic.
+  * `rays`      — the `ray_reflection_test` debug node
+                  (src/ray_reflection_test.cpp:169-354): trace one beam (or a
+                  360-degree fan / sampled cone) for B bounces and dump the
+                  per-bounce polylines with energy + medium to JSON (the rviz
+                  LINE_LIST marker equivalent).
+  * `info`      — print mesh/scene statistics (objects, triangles, chunks).
+
+Examples:
+  python -m radarays_ros_tpu.io.cli simulate --mesh scene.ply \
+      --scene-config materials.yaml --preset mulran_kaist_dyncfg.yaml \
+      --frames 10 --out out/
+  python -m radarays_ros_tpu.io.cli rays --mesh scene.ply --yaw 0.3 \
+      --bounces 4 --out rays.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def _load_scene(args):
+    from radarays_ros_tpu.geom.mesh import load_mesh
+
+    scene = load_mesh(args.mesh, chunk_size=args.chunk_size)
+    return scene
+
+
+def _load_cfg_params(args, scene):
+    from radarays_ros_tpu.io.config import load_preset, load_scene_config
+    from radarays_ros_tpu.sim.config import (
+        Materials, RadarModelConfig, RadarParams)
+
+    beam_width_deg = 8.0
+    if args.scene_config:
+        sc = load_scene_config(args.scene_config)
+        obj_mat = sc.object_materials
+        if obj_mat.shape[0] < scene.n_objects:
+            obj_mat = np.concatenate([
+                obj_mat,
+                np.zeros(scene.n_objects - obj_mat.shape[0], np.int32)])
+        params = RadarParams.make(sc.materials, obj_mat, beam_width_deg)
+        air = sc.material_id_air
+    else:
+        params = RadarParams.make(
+            Materials.air_only(), np.zeros(max(scene.n_objects, 1), np.int32),
+            beam_width_deg)
+        air = 0
+
+    if args.preset:
+        cfg, bw, _ = load_preset(args.preset)
+        cfg = cfg.replace(material_id_air=air)
+        if bw is not None:
+            params = params._replace(
+                beam_width=np.float32(np.deg2rad(bw)))
+    else:
+        cfg = RadarModelConfig(material_id_air=air)
+    if args.engine:
+        cfg = cfg.replace(trace_engine=args.engine)
+    return cfg, params
+
+
+def cmd_simulate(args) -> int:
+    from radarays_ros_tpu.io.image_io import save_frame
+    from radarays_ros_tpu.io.trajectory import Trajectory
+    from radarays_ros_tpu.sim.radar import Radar
+    from radarays_ros_tpu.utils.transforms import identity_pose
+
+    scene = _load_scene(args)
+    cfg, params = _load_cfg_params(args, scene)
+    radar = Radar(scene, params, cfg, seed=args.seed)
+
+    traj = Trajectory.load_tum(args.traj) if args.traj else None
+    if args.synced:
+        if traj is None:
+            print("--synced requires --traj", file=sys.stderr)
+            return 2
+        stamps = traj.stamps[:args.frames] if args.frames else traj.stamps
+    else:
+        stamps = np.arange(args.frames, dtype=np.float64) / args.rate
+
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    fmt = args.format
+    t_start = time.perf_counter()
+    for i, stamp in enumerate(stamps):
+        if traj is not None:
+            if cfg.include_motion:
+                pose = traj.poses_for_scan(stamp, args.scan_duration,
+                                           cfg.n_angles)
+            else:
+                pose = traj.pose_at(stamp)
+        else:
+            pose = identity_pose()
+        t0 = time.perf_counter()
+        img = radar.simulate_image(pose)
+        dt = time.perf_counter() - t0
+        save_frame(out / f"frame_{i:05d}.{fmt}", img)
+        # per-frame wall time, as printed by the reference (RadarCPU.cpp:550)
+        print(f"frame {i:5d} stamp {stamp:.3f}  {dt * 1e3:8.2f} ms")
+    total = time.perf_counter() - t_start
+    n = max(len(stamps), 1)
+    print(f"{n} frames in {total:.2f} s -> {n / total:.2f} Hz")
+    return 0
+
+
+def cmd_rays(args) -> int:
+    from radarays_ros_tpu.io.trajectory import Trajectory
+    from radarays_ros_tpu.viz.rays import trace_debug_rays
+    from radarays_ros_tpu.utils.transforms import identity_pose
+
+    scene = _load_scene(args)
+    cfg, params = _load_cfg_params(args, scene)
+    pose = (Trajectory.load_tum(args.traj).pose_at(args.stamp)
+            if args.traj else identity_pose())
+
+    result = trace_debug_rays(
+        scene.device_arrays(), params, cfg, pose,
+        yaw=args.yaw, n_bounces=args.bounces,
+        mode=("fan" if args.all_directions else
+              ("cone" if args.cone else "single")),
+        n_fan=args.n_fan, seed=args.seed,
+    )
+    payload = json.dumps(result, indent=None if args.compact else 2)
+    if args.out:
+        Path(args.out).write_text(payload)
+        print(f"wrote {args.out}: {len(result['segments'])} segments")
+    else:
+        print(payload)
+    return 0
+
+
+def cmd_info(args) -> int:
+    scene = _load_scene(args)
+    sa = scene.device_arrays()
+    print(f"mesh:      {args.mesh}")
+    print(f"triangles: {scene.n_triangles}")
+    print(f"objects:   {scene.n_objects}")
+    if scene.object_names:
+        for i, n in enumerate(scene.object_names):
+            count = int(np.sum(scene.obj_ids == i))
+            print(f"  {i:3d}: {n} ({count} tris)")
+    print(f"chunks:    {sa.n_chunks} x {sa.chunk_size}")
+    lo = scene.verts.reshape(-1, 3).min(0)
+    hi = scene.verts.reshape(-1, 3).max(0)
+    print(f"aabb:      {lo.tolist()} .. {hi.tolist()}")
+    return 0
+
+
+def _common(p: argparse.ArgumentParser):
+    p.add_argument("--mesh", required=True, help="scene mesh (.ply/.obj/.stl)")
+    p.add_argument("--scene-config", help="materials YAML (reference format)")
+    p.add_argument("--preset", help="dyncfg preset YAML")
+    p.add_argument("--engine", choices=["brute", "mxu", "culled", "pallas"],
+                   help="trace engine override")
+    p.add_argument("--chunk-size", type=int, default=256)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--traj", help="TUM trajectory file")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="radarays_ros_tpu",
+                                 description=__doc__.split("\n")[0])
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    sim = sub.add_parser("simulate", help="render radar frames")
+    _common(sim)
+    sim.add_argument("--frames", type=int, default=1)
+    sim.add_argument("--rate", type=float, default=4.0,
+                     help="free-running frame rate [Hz] (stamp spacing)")
+    sim.add_argument("--synced", action="store_true",
+                     help="replay the trajectory's own stamps (sync mode)")
+    sim.add_argument("--scan-duration", type=float, default=0.25,
+                     help="scan period for include_motion pose interpolation")
+    sim.add_argument("--out", default="out")
+    sim.add_argument("--format", choices=["png", "npy"], default="png")
+    sim.set_defaults(fn=cmd_simulate)
+
+    rays = sub.add_parser("rays", help="debug-trace one beam")
+    _common(rays)
+    rays.add_argument("--yaw", type=float, default=0.0)
+    rays.add_argument("--bounces", type=int, default=3)
+    rays.add_argument("--cone", action="store_true",
+                      help="trace a sampled cone instead of a single ray")
+    rays.add_argument("--all-directions", action="store_true",
+                      help="360-degree fan (shoot_all_directions)")
+    rays.add_argument("--n-fan", type=int, default=360)
+    rays.add_argument("--stamp", type=float, default=0.0)
+    rays.add_argument("--compact", action="store_true")
+    rays.add_argument("--out")
+    rays.set_defaults(fn=cmd_rays)
+
+    info = sub.add_parser("info", help="mesh/scene statistics")
+    _common(info)
+    info.set_defaults(fn=cmd_info)
+    return ap
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,181 @@
+"""Pallas TPU tracer: chunked plane-test ray casting with AABB chunk skipping.
+
+The third (and fastest-path) implementation of rmagine's OnDn simulate
+contract (Bundle<Hits, Ranges, Normals, ObjectIds>, RadarCPU.cpp:222-236),
+after "brute" and the XLA "mxu"/"culled" engines (trace/planes.py). Same
+plane-equation intersection math (geom/scene.py:_triangle_planes), but as a
+hand-scheduled Pallas kernel:
+
+  * Grid = (ray_blocks, triangle_chunks); the running (best_t, best_idx)
+    output block is indexed by ray block only, so it lives in VMEM across the
+    whole inner chunk loop (the classic matmul-accumulator pattern).
+  * Rays ride the LANE axis: the kernel computes SO = PO_chunk @ o_aug^T and
+    SD = PD_chunk @ d_aug^T as (4*Tc, 4) x (4, RB) MXU matmuls, so every
+    reduction (nearest-hit min/argmin) is a sublane reduction onto the
+    (1, RB) accumulator — no transposes anywhere.
+  * A per-(ray block, chunk) skip mask — ray-slab tests against the Morton
+    chunk AABBs, computed in XLA before the kernel — sits in SMEM; `@pl.when`
+    skips the matmuls for chunks no ray in the block can hit. Morton-ordered
+    chunks (geom/scene.py:device_arrays) make this mask sparse for real
+    scenes.
+
+Exactness: unlike trace_planes_culled's top-K heuristic, the skip mask is
+conservative (pure slab test), so trace_pallas is EXACT — parity with
+"brute" is asserted in tests/test_trace.py.
+
+On non-TPU backends the kernel runs in Pallas interpret mode (tests).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from radarays_ros_tpu.trace.planes import _DIR_EPS, _finalize, _ray_aabb
+
+_INSIDE_EPS = 1e-5  # meters (edge planes are unit-normalized); planes.py:33
+_BIG_IDX = 2**30  # python literal: jnp constants would be captured by the kernel
+
+
+def _trace_kernel(mask_ref, o_ref, d_ref, po_ref, pd_ref,
+                  best_t_ref, best_idx_ref, *, tc: int,
+                  t_min: float, t_max: float):
+    """One (ray block, triangle chunk) cell of the trace grid.
+
+    o_ref/d_ref: (1, 4, RB) homogeneous ray origins [x y z 1] / dirs [x y z 0].
+    po_ref/pd_ref: (1, 4*Tc, 4) plane rows for this chunk, grouped
+      [support | edge0 | edge1 | edge2] x Tc (dir rows lane-padded to 4).
+    best_t_ref/best_idx_ref: (1, RB) accumulators, persistent across chunks.
+    """
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        best_t_ref[:] = jnp.full(best_t_ref.shape, jnp.inf, jnp.float32)
+        best_idx_ref[:] = jnp.zeros(best_idx_ref.shape, jnp.int32)
+
+    @pl.when(mask_ref[i, j] != 0)
+    def _compute():
+        so = jnp.dot(po_ref[0], o_ref[0], preferred_element_type=jnp.float32)
+        sd = jnp.dot(pd_ref[0], d_ref[0], preferred_element_type=jnp.float32)
+        # plane group g occupies sublanes [g*Tc, (g+1)*Tc)
+        so_s, sd_s = so[0:tc], sd[0:tc]
+        denom_ok = jnp.abs(sd_s) > _DIR_EPS
+        t = -so_s / jnp.where(denom_ok, sd_s, 1.0)
+        inside = (
+            (so[tc:2 * tc] + t * sd[tc:2 * tc] >= -_INSIDE_EPS)
+            & (so[2 * tc:3 * tc] + t * sd[2 * tc:3 * tc] >= -_INSIDE_EPS)
+            & (so[3 * tc:4 * tc] + t * sd[3 * tc:4 * tc] >= -_INSIDE_EPS)
+        )
+        hit = denom_ok & inside & (t >= t_min) & (t <= t_max)
+        t_masked = jnp.where(hit, t, jnp.inf)                 # (Tc, RB)
+
+        local_t = jnp.min(t_masked, axis=0, keepdims=True)    # (1, RB)
+        rows = jax.lax.broadcasted_iota(jnp.int32, t_masked.shape, 0)
+        local_i = jnp.min(
+            jnp.where(t_masked == local_t, rows, _BIG_IDX), axis=0, keepdims=True
+        )
+        better = local_t < best_t_ref[:]
+        best_t_ref[:] = jnp.where(better, local_t, best_t_ref[:])
+        best_idx_ref[:] = jnp.where(better, j * tc + local_i, best_idx_ref[:])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("chunk_size", "ray_block", "t_min", "t_max", "interpret"),
+)
+def _trace_pallas_impl(planes_o, planes_d, chunk_lo, chunk_hi, origs, dirs, *,
+                       chunk_size: int, ray_block: int, t_min: float,
+                       t_max: float, interpret: bool):
+    tc = chunk_size
+    C = planes_o.shape[0] // (4 * tc)
+    R = origs.shape[0]
+    RB = ray_block
+    pad = (-R) % RB
+    o = jnp.concatenate([origs, jnp.zeros((pad, 3), jnp.float32)], axis=0)
+    d = jnp.concatenate([dirs, jnp.ones((pad, 3), jnp.float32)], axis=0)
+    n_blocks = o.shape[0] // RB
+
+    # homogeneous transposed ray layout: rays on the lane axis
+    ones = jnp.ones((o.shape[0], 1), jnp.float32)
+    zeros = jnp.zeros((o.shape[0], 1), jnp.float32)
+    o_aug = jnp.concatenate([o, ones], axis=-1).reshape(n_blocks, RB, 4)
+    o_aug = o_aug.transpose(0, 2, 1)                      # (B, 4, RB)
+    d_aug = jnp.concatenate([d, zeros], axis=-1).reshape(n_blocks, RB, 4)
+    d_aug = d_aug.transpose(0, 2, 1)
+
+    # grouped plane layout: (C, 4*Tc, 4) rows [support | e0 | e1 | e2]
+    po = planes_o.reshape(C, tc, 4, 4).transpose(0, 2, 1, 3).reshape(C, 4 * tc, 4)
+    pd_rows = planes_d.reshape(C, tc, 4, 3).transpose(0, 2, 1, 3)
+    pd = jnp.concatenate(
+        [pd_rows, jnp.zeros((C, 4, tc, 1), jnp.float32)], axis=-1
+    ).reshape(C, 4 * tc, 4)
+
+    # conservative chunk-skip mask: slab test per ray block (XLA, cheap)
+    inv_d = 1.0 / jnp.where(jnp.abs(d) > _DIR_EPS, d,
+                            jnp.where(d >= 0, _DIR_EPS, -_DIR_EPS))
+    _, overlap = _ray_aabb(o, inv_d, chunk_lo, chunk_hi)   # (B*RB, C)
+    mask = overlap.reshape(n_blocks, RB, C).any(axis=1).astype(jnp.int32)
+
+    kernel = functools.partial(
+        _trace_kernel, tc=tc, t_min=float(t_min), t_max=float(t_max))
+
+    best_t, best_idx = pl.pallas_call(
+        kernel,
+        grid=(n_blocks, C),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # full (B, C) skip mask
+            pl.BlockSpec((1, 4, RB), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, RB), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * tc, 4), lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * tc, 4), lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, RB), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RB), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_blocks, RB), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, RB), jnp.int32),
+        ],
+        interpret=interpret,
+    )(mask, o_aug, d_aug, po, pd)
+
+    return best_t.reshape(-1)[:R], best_idx.reshape(-1)[:R]
+
+
+def trace_pallas(scene, origs, dirs, t_min: float = 0.0, t_max: float = 1000.0,
+                 ray_block: int = 512, interpret: bool | None = None,
+                 **_ignored):
+    """Exact Pallas-kernel trace (see module docstring).
+
+    ray_block must be a multiple of 128 (lane width); the scene's chunk_size
+    must be a multiple of 8 (f32 sublane tile).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    # derive from static shapes — scene.chunk_size is a pytree leaf and is
+    # traced (non-concrete) when this runs under jit
+    chunk_size = scene.verts.shape[0] // scene.chunk_aabb_lo.shape[0]
+    if chunk_size % 8 != 0:
+        raise ValueError(
+            f"pallas trace needs chunk_size % 8 == 0, got {chunk_size}")
+    if ray_block % 128 != 0:
+        raise ValueError(f"ray_block must be a multiple of 128, got {ray_block}")
+    best_t, best_idx = _trace_pallas_impl(
+        jnp.asarray(scene.planes_o), jnp.asarray(scene.planes_d),
+        jnp.asarray(scene.chunk_aabb_lo), jnp.asarray(scene.chunk_aabb_hi),
+        jnp.asarray(origs), jnp.asarray(dirs),
+        chunk_size=chunk_size, ray_block=ray_block,
+        t_min=t_min, t_max=t_max, interpret=interpret,
+    )
+    return _finalize(scene, origs, dirs, best_idx, best_t)

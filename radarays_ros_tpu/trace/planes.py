@@ -158,7 +158,8 @@ def _ray_aabb(o, inv_d, lo, hi):
 
 
 def suggest_k(scene, fraction: float = 0.25, minimum: int = 8) -> int:
-    """Heuristic K for trace_planes_culled: a fraction of all chunks."""
+    """Heuristic sweep cap for trace_planes_culled when a caller wants to
+    bound worst-case latency (k_chunks=None keeps the sweep exact)."""
     c = scene.chunk_aabb_lo.shape[0]
     return max(minimum, min(c, int(c * fraction)))
 
@@ -166,20 +167,33 @@ def suggest_k(scene, fraction: float = 0.25, minimum: int = 8) -> int:
 def trace_planes_culled(scene, origs, dirs, t_min: float = 0.0,
                         t_max: float = 1000.0, ray_block: int = 1024,
                         k_chunks: int | None = None) -> TraceResult:
-    """Chunk-AABB culled MXU trace.
+    """Ordered chunk sweep with early termination — an XLA-native "BVH-lite".
 
-    Per block of `ray_block` rays: slab-test every Morton chunk AABB against
-    all rays of the block (VPU), rank chunks by earliest entry distance over
-    the block, and run the MXU plane test only on the K best chunks (gathered
-    dynamically — static shapes, no data-dependent control flow).
+    Per block of `ray_block` rays:
+      1. slab-test every Morton chunk AABB against all rays (VPU), giving
+         per-ray entry distances t_near (inf when a ray misses the chunk);
+      2. rank chunks by the earliest entry over the block (front-to-back for
+         the block as a whole);
+      3. sweep chunks in that order inside a `lax.while_loop`, running the
+         MXU plane test one chunk at a time, and STOP as soon as every ray's
+         current best hit is closer than the nearest entry among its
+         remaining chunks (per-ray suffix-min of ranked t_near) — the same
+         termination criterion a BVH traversal uses, applied block-wide.
+
+    EXACT for any k_chunks >= the number a block actually needs; `k_chunks`
+    only caps the sweep length (None = no cap = always exact). Coherent ray
+    blocks (the radar's azimuth-major layout) terminate after a handful of
+    chunks.
     """
     planes_o = jnp.asarray(scene.planes_o)
     planes_d = jnp.asarray(scene.planes_d)
     lo = jnp.asarray(scene.chunk_aabb_lo)
     hi = jnp.asarray(scene.chunk_aabb_hi)
-    cs = scene.chunk_size
     C = lo.shape[0]
-    K = min(k_chunks or suggest_k(scene), C)
+    # derive from static shapes — scene.chunk_size is a pytree leaf and is
+    # traced (non-concrete) when this runs under jit
+    cs = scene.verts.shape[0] // C
+    K = min(k_chunks or C, C)
 
     po = planes_o.reshape(C, cs * 4, 4)
     pd = planes_d.reshape(C, cs * 4, 3)
@@ -189,25 +203,46 @@ def trace_planes_culled(scene, origs, dirs, t_min: float = 0.0,
 
     def block_body(ray_chunk):
         ob, db = ray_chunk
+        RB = ob.shape[0]
         inv_d = 1.0 / jnp.where(jnp.abs(db) > _DIR_EPS, db,
                                 jnp.where(db >= 0, _DIR_EPS, -_DIR_EPS))
-        t_near, overlap = _ray_aabb(ob, inv_d, lo, hi)          # (R, C)
-        t_near = jnp.where(overlap, jnp.maximum(t_near, 0.0), jnp.inf)
-        # earliest entry of any ray in the block, per chunk
-        chunk_score = jnp.min(t_near, axis=0)                    # (C,)
-        neg_score, chunk_sel = jax.lax.top_k(-chunk_score, K)    # nearest K
-        sel_valid = jnp.isfinite(-neg_score)
+        t_near, overlap = _ray_aabb(ob, inv_d, lo, hi)          # (RB, C)
+        t_near = jnp.where(overlap & (t_near <= t_max),
+                           jnp.maximum(t_near, 0.0), jnp.inf)
+        order = jnp.argsort(jnp.min(t_near, axis=0))            # (C,)
+        entry_ranked = t_near[:, order]                         # (RB, C)
+        # suffix min over ranked chunks: closest possible entry among the
+        # chunks not yet visited, per ray
+        suffix = jax.lax.associative_scan(
+            jnp.minimum, entry_ranked, reverse=True, axis=1)
+        suffix = jnp.concatenate(
+            [suffix, jnp.full((RB, 1), jnp.inf)], axis=1)       # (RB, C+1)
 
-        po_k = po[chunk_sel].reshape(K * cs * 4, 4)
-        pd_k = pd[chunk_sel].reshape(K * cs * 4, 3)
-        o_aug = jnp.concatenate([ob, jnp.ones((ob.shape[0], 1), ob.dtype)], -1)
-        t, hit = _plane_hits(o_aug, db, po_k.T, pd_k.T, t_min, t_max)  # (R, K*cs)
-        hit = hit & jnp.repeat(sel_valid, cs)[None, :]
-        t_masked = jnp.where(hit, t, jnp.inf)
-        local = jnp.argmin(t_masked, axis=-1)
-        best_t = jnp.take_along_axis(t_masked, local[:, None], -1)[:, 0]
-        tri_idx = chunk_sel[local // cs] * cs + local % cs
-        return best_t, tri_idx.astype(jnp.int32)
+        o_aug = jnp.concatenate([ob, jnp.ones((RB, 1), ob.dtype)], -1)
+
+        def cond(carry):
+            i, best_t, _ = carry
+            return (i < K) & jnp.any(best_t > suffix[:, i])
+
+        def body(carry):
+            i, best_t, best_idx = carry
+            c = order[i]
+            po_c = jax.lax.dynamic_index_in_dim(po, c, 0, keepdims=False)
+            pd_c = jax.lax.dynamic_index_in_dim(pd, c, 0, keepdims=False)
+            t, hit = _plane_hits(o_aug, db, po_c.T, pd_c.T, t_min, t_max)
+            t_masked = jnp.where(hit, t, jnp.inf)               # (RB, cs)
+            local = jnp.argmin(t_masked, axis=-1)
+            local_t = jnp.take_along_axis(t_masked, local[:, None], -1)[:, 0]
+            better = local_t < best_t
+            best_t = jnp.where(better, local_t, best_t)
+            best_idx = jnp.where(better, c * cs + local.astype(jnp.int32),
+                                 best_idx)
+            return i + 1, best_t, best_idx
+
+        init = (jnp.int32(0), jnp.full((RB,), jnp.inf, jnp.float32),
+                jnp.zeros((RB,), jnp.int32))
+        _, best_t, best_idx = jax.lax.while_loop(cond, body, init)
+        return best_t, best_idx
 
     o_blocks = o.reshape(n_blocks, ray_block, 3)
     d_blocks = d.reshape(n_blocks, ray_block, 3)

@@ -7,13 +7,21 @@ devices; real-TPU benchmarking happens outside pytest (bench.py).
 import os
 
 # Force CPU: the session environment points JAX at the axon TPU tunnel
-# (JAX_PLATFORMS=axon), which is reserved for bench.py.
+# (JAX_PLATFORMS=axon), which is reserved for bench.py. The axon
+# sitecustomize calls jax.config.update("jax_platforms", "axon,cpu") at
+# interpreter start, which overrides the env var — so we must override the
+# CONFIG, not just the env, before any backend is initialized (otherwise
+# every test jit round-trips through the remote TPU tunnel).
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

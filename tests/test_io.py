@@ -1,0 +1,265 @@
+"""IO-layer tests: YAML formats, trajectory interpolation, PNG round-trip,
+CLI smoke."""
+
+import numpy as np
+import pytest
+
+from radarays_ros_tpu.io.config import (
+    load_preset, load_scene_config, save_preset, save_scene_config)
+from radarays_ros_tpu.io.image_io import (
+    polar_to_points, read_png_gray, write_png_gray)
+from radarays_ros_tpu.io.trajectory import Trajectory
+
+
+STRUCTURED_YAML = """
+materials:
+  - velocity: 0.3
+    ambient: 1.0
+    diffuse: 0.0
+    specular: 1.0
+  - velocity: 0.0
+    ambient: 1.0
+    diffuse: 0.0
+    specular: 3000.0
+material_id_air: 0
+object_materials: [1, 1, 0]
+"""
+
+PARALLEL_YAML = """
+velocities: [0.3, 0.001, 0.05]
+ambient: [0.5, 0.6, 0.01]
+diffuse: [0.1, 0.3, 0.04]
+specular: [1.0, 3000.0, 100.0]
+object_materials: [1, 2]
+"""
+
+DYNCFG_YAML = """\
+!!python/object/new:dynamic_reconfigure.encoding.Config
+dictitems:
+  beam_width: 10.0
+  n_cells: 3424
+  n_reflections: 4
+  n_samples: 50
+  resolution: 0.0595238
+  signal_denoising: 1
+  signal_denoising_triangular_width: 35
+  signal_denoising_triangular_mode: 0.35
+  energy_max: 0.72
+  signal_max: 110.0
+  ambient_noise: 2
+  groups: !!python/object/new:dynamic_reconfigure.encoding.Config
+    dictitems:
+      beam_width: 10.0
+    state: []
+  state: []
+"""
+
+
+def test_structured_scene_config(tmp_path):
+    p = tmp_path / "scene.yaml"
+    p.write_text(STRUCTURED_YAML)
+    sc = load_scene_config(p)
+    assert sc.materials.n == 2
+    assert float(sc.materials.specular[1]) == 3000.0
+    np.testing.assert_array_equal(sc.object_materials, [1, 1, 0])
+    assert sc.material_id_air == 0
+
+
+def test_parallel_array_scene_config(tmp_path):
+    p = tmp_path / "scene.yaml"
+    p.write_text(PARALLEL_YAML)
+    sc = load_scene_config(p)
+    assert sc.materials.n == 3
+    assert float(sc.materials.velocity[1]) == pytest.approx(0.001)
+    assert float(sc.materials.ambient[2]) == pytest.approx(0.01)
+    assert float(sc.materials.specular[2]) == pytest.approx(100.0)
+
+
+def test_dyncfg_preset_with_ros_tags(tmp_path):
+    p = tmp_path / "preset.yaml"
+    p.write_text(DYNCFG_YAML)
+    cfg, bw, flat = load_preset(p)
+    assert bw == 10.0
+    assert cfg.n_reflections == 4
+    assert cfg.n_samples == 50
+    assert cfg.resolution == pytest.approx(0.0595238)
+    assert cfg.signal_denoising_triangular_width == 35
+    assert "groups" not in flat
+
+
+def test_reference_preset_files_load():
+    """The actual tuned presets shipped by the reference must parse."""
+    import pathlib
+
+    ref = pathlib.Path("/root/reference/cfg")
+    if not ref.exists():
+        pytest.skip("reference configs not mounted")
+    for name in ("mulran_kaist_dyncfg.yaml", "mulran_kaist_dyncfg_minimal.yaml",
+                 "mulran_kaist_dyncfg_laserlike.yaml"):
+        cfg, bw, _ = load_preset(ref / name)
+        assert cfg.n_cells > 0
+        assert bw is None or bw >= 0.0
+
+
+def test_reference_scene_configs_load():
+    import pathlib
+
+    ref = pathlib.Path("/root/reference/config")
+    if not ref.exists():
+        pytest.skip("reference configs not mounted")
+    for name in ("mulran_kaist02.yaml", "oru4_test.yaml", "oru3.yaml",
+                 "oru4.yaml"):
+        sc = load_scene_config(ref / name)
+        assert sc.materials.n >= 2
+
+
+def test_preset_roundtrip(tmp_path):
+    from radarays_ros_tpu.sim.config import RadarModelConfig
+
+    cfg = RadarModelConfig(n_samples=77, signal_max=99.0)
+    save_preset(tmp_path / "p.yaml", cfg, beam_width_deg=3.5)
+    cfg2, bw, _ = load_preset(tmp_path / "p.yaml")
+    assert cfg2.n_samples == 77
+    assert cfg2.signal_max == 99.0
+    assert bw == 3.5
+
+
+def test_scene_config_roundtrip(tmp_path, simple_materials):
+    save_scene_config(tmp_path / "s.yaml", simple_materials, [1, 2, 0],
+                      material_id_air=0)
+    sc = load_scene_config(tmp_path / "s.yaml")
+    np.testing.assert_allclose(np.asarray(sc.materials.velocity),
+                               np.asarray(simple_materials.velocity))
+    np.testing.assert_array_equal(sc.object_materials, [1, 2, 0])
+
+
+# ---------------------------------------------------------------- trajectory
+
+def test_trajectory_interpolation():
+    tr = Trajectory(
+        np.array([0.0, 1.0]),
+        np.array([[0, 0, 0, 0, 0, 0, 1],
+                  [2, 0, 0, 0, 0, 0, 1]], np.float32))
+    p = tr.pose_at(0.5)
+    np.testing.assert_allclose(p[:3], [1, 0, 0], atol=1e-6)
+    # extrapolation beyond the end (Radar.cpp:102-121 fallback)
+    p2 = tr.pose_at(2.0)
+    np.testing.assert_allclose(p2[:3], [4, 0, 0], atol=1e-5)
+
+
+def test_trajectory_slerp_quaternion():
+    from radarays_ros_tpu.utils.transforms import quat_from_euler
+
+    q0 = quat_from_euler(0, 0, 0.0)
+    q1 = quat_from_euler(0, 0, np.pi / 2)
+    tr = Trajectory(
+        np.array([0.0, 1.0]),
+        np.stack([np.concatenate([[0, 0, 0], q0]),
+                  np.concatenate([[0, 0, 0], q1])]).astype(np.float32))
+    mid = tr.pose_at(0.5)
+    expect = quat_from_euler(0, 0, np.pi / 4)
+    assert min(np.linalg.norm(mid[3:] - expect),
+               np.linalg.norm(mid[3:] + expect)) < 1e-5
+
+
+def test_trajectory_tum_roundtrip(tmp_path):
+    tr = Trajectory.circular(radius=5.0, n=16, period=8.0)
+    tr.save_tum(tmp_path / "traj.txt")
+    tr2 = Trajectory.load_tum(tmp_path / "traj.txt")
+    np.testing.assert_allclose(tr.stamps, tr2.stamps, atol=1e-8)
+    np.testing.assert_allclose(tr.poses, tr2.poses, atol=1e-5)
+
+
+def test_poses_for_scan_shape():
+    tr = Trajectory.circular(radius=5.0, n=16, period=8.0)
+    poses = tr.poses_for_scan(1.0, 0.25, 64)
+    assert poses.shape == (64, 7)
+
+
+# ---------------------------------------------------------------- images
+
+def test_png_roundtrip(tmp_path, rng):
+    img = rng.integers(0, 255, size=(48, 64), dtype=np.uint8)
+    write_png_gray(tmp_path / "f.png", img)
+    back = read_png_gray(tmp_path / "f.png")
+    np.testing.assert_array_equal(img, back)
+
+
+def test_polar_to_points():
+    img = np.zeros((100, 8), np.uint8)
+    img[10, 0] = 200  # range cell 10, azimuth 0 -> +x axis
+    pts = polar_to_points(img, resolution=0.5)
+    assert pts.shape == (1, 4)
+    np.testing.assert_allclose(pts[0], [5.0, 0.0, 0.0, 200.0], atol=1e-5)
+
+
+# ---------------------------------------------------------------- CLI
+
+@pytest.fixture(scope="module")
+def tiny_mesh_file(tmp_path_factory):
+    """Write the box scene out as an OBJ the CLI can load."""
+    from radarays_ros_tpu.geom.primitives import make_box
+
+    d = tmp_path_factory.mktemp("mesh")
+    path = d / "scene.obj"
+    walls = make_box((0, 0, 0), (20.0, 20.0, 6.0))[:, ::-1, :]
+    pillar = make_box((5.0, 0, 0), (1.0, 1.0, 6.0))
+    lines = []
+    vi = 1
+    for name, tris in (("walls", walls), ("pillar", pillar)):
+        lines.append(f"o {name}")
+        for t in tris:
+            for v in t:
+                lines.append(f"v {v[0]} {v[1]} {v[2]}")
+            lines.append(f"f {vi} {vi+1} {vi+2}")
+            vi += 3
+    path.write_text("\n".join(lines) + "\n")
+    return path
+
+
+def test_cli_info(tiny_mesh_file, capsys):
+    from radarays_ros_tpu.io.cli import main
+
+    rc = main(["info", "--mesh", str(tiny_mesh_file), "--chunk-size", "8"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "triangles:" in out
+    assert "walls" in out
+
+
+def test_cli_simulate_writes_frames(tiny_mesh_file, tmp_path, capsys):
+    from radarays_ros_tpu.io.cli import main
+    from radarays_ros_tpu.sim.config import RadarModelConfig
+    from radarays_ros_tpu.io.config import save_preset
+
+    preset = tmp_path / "preset.yaml"
+    save_preset(preset, RadarModelConfig(
+        n_angles=16, n_cells=64, n_samples=2, n_reflections=1,
+        resolution=0.25, ambient_noise=0, signal_denoising=1,
+        signal_denoising_triangular_width=5,
+        signal_denoising_triangular_mode=0.4), beam_width_deg=2.0)
+    out = tmp_path / "frames"
+    rc = main(["simulate", "--mesh", str(tiny_mesh_file), "--chunk-size", "8",
+               "--preset", str(preset), "--frames", "2",
+               "--out", str(out), "--format", "png"])
+    assert rc == 0
+    files = sorted(out.glob("frame_*.png"))
+    assert len(files) == 2
+    img = read_png_gray(files[0])
+    assert img.shape == (64, 16)
+
+
+def test_cli_rays_json(tiny_mesh_file, tmp_path):
+    from radarays_ros_tpu.io.cli import main
+    import json
+
+    out = tmp_path / "rays.json"
+    rc = main(["rays", "--mesh", str(tiny_mesh_file), "--chunk-size", "8",
+               "--yaw", "0.0", "--bounces", "3", "--out", str(out)])
+    assert rc == 0
+    data = json.loads(out.read_text())
+    assert data["n_rays"] == 1
+    assert len(data["segments"]) >= 1
+    seg0 = data["segments"][0]
+    assert seg0["medium"] == "air"
+    assert seg0["bounce"] == 0

@@ -83,26 +83,42 @@ def test_engine_parity_random_rays(box_scene, engine, rng):
                                atol=1e-4)
 
 
-def test_culled_small_k_still_finds_near_hits(rng):
+def test_culled_sweep_exact_on_urban_fan(rng):
+    """The ordered chunk sweep terminates early but must stay EXACT when the
+    sweep cap is not artificially lowered (k_chunks=None)."""
     from radarays_ros_tpu.geom.primitives import make_urban_scene
 
     parts, names = make_urban_scene(n_buildings=24, extent=60.0, seed=3)
     scene = Scene.compose(parts, names, chunk_size=16)
     sa = scene.device_arrays()
     assert sa.n_chunks >= 12
-    # coherent, mostly-horizontal rays from the sensor clearing
+    # incoherent 360-degree fan from the sensor clearing — worst case for
+    # block-level culling
     az = rng.uniform(0, 2 * np.pi, 256)
     el = rng.uniform(-0.05, 0.05, 256)
     d = np.stack([np.cos(el) * np.cos(az), np.cos(el) * np.sin(az), np.sin(el)], -1)
     o = np.broadcast_to(np.array([0, 0, 2.0], np.float32), (256, 3))
     o, d = jnp.asarray(o, jnp.float32), jnp.asarray(d, jnp.float32)
     ref = trace(sa, o, d, engine="brute")
-    got = trace(sa, o, d, engine="culled", k_chunks=max(4, sa.n_chunks // 4))
+    got = trace(sa, o, d, engine="culled", k_chunks=None)
     hit = np.asarray(ref.hit)
-    # nearly all hits must survive aggressive culling on coherent blocks
-    agree = np.mean(np.isclose(np.asarray(ref.t)[hit], np.asarray(got.t)[hit],
-                               rtol=1e-4, atol=1e-3))
-    assert agree > 0.95
+    np.testing.assert_array_equal(hit, np.asarray(got.hit))
+    np.testing.assert_allclose(np.asarray(ref.t)[hit], np.asarray(got.t)[hit],
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(ref.obj_id), np.asarray(got.obj_id))
+
+
+def test_pallas_engine_parity(box_scene, rng):
+    """Pallas kernel (interpret mode on CPU) must match brute exactly."""
+    sa = box_scene.device_arrays()
+    o, d = _rays_from_origin(300, rng)
+    ref = trace(sa, o, d, engine="brute")
+    got = trace(sa, o, d, engine="pallas", ray_block=128)
+    np.testing.assert_array_equal(np.asarray(ref.hit), np.asarray(got.hit))
+    hit = np.asarray(ref.hit)
+    np.testing.assert_allclose(np.asarray(ref.t)[hit], np.asarray(got.t)[hit],
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(ref.obj_id), np.asarray(got.obj_id))
 
 
 def test_rays_inside_closed_box_always_hit(box_scene, rng):
