@@ -1,0 +1,132 @@
+"""Trace-engine and frame microbenchmarks on the current JAX backend.
+
+Usage:
+  python benchmarks/engines.py [--tris 10000] [--rays 160000] [--frames 10]
+
+Times each trace engine on a raw ray batch (the hot op), then the full
+jitted frame (bench.py's KAIST-preset workload) per engine. Prints one JSON
+line per measurement; the last line is a summary. Complements bench.py
+(which reports the single headline number the driver records).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def median_time(fn, n=5):
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--buildings", type=int, default=800)
+    ap.add_argument("--rays", type=int, default=160_000)
+    ap.add_argument("--frames", type=int, default=10)
+    ap.add_argument("--chunk-size", type=int, default=256)
+    ap.add_argument("--engines", default="mxu,culled,pallas")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from radarays_ros_tpu.geom.primitives import make_urban_scene
+    from radarays_ros_tpu.geom.scene import Scene
+    from radarays_ros_tpu.trace.api import trace
+
+    parts, names = make_urban_scene(
+        n_buildings=args.buildings, extent=300.0, seed=7)
+    scene = Scene.compose(parts, names, chunk_size=args.chunk_size)
+    sa = jax.device_put(scene.device_arrays())
+    print(json.dumps({"device": str(jax.devices()[0]),
+                      "n_triangles": scene.n_triangles,
+                      "n_chunks": sa.chunk_aabb_lo.shape[0]}))
+
+    rng = np.random.default_rng(0)
+    # radar-like rays: azimuth-major coherent fan from a central sensor
+    A = 400
+    S = args.rays // A
+    az = np.repeat(np.linspace(0, 2 * np.pi, A, endpoint=False), S)
+    el = np.tile(rng.normal(0, 0.03, S), A)
+    d = np.stack([np.cos(el) * np.cos(az), np.cos(el) * np.sin(az),
+                  np.sin(el)], -1).astype(np.float32)
+    o = np.broadcast_to(np.array([0, 0, 2.0], np.float32), d.shape).copy()
+    o_j, d_j = jnp.asarray(o), jnp.asarray(d)
+
+    results = {}
+    for engine in args.engines.split(","):
+        kw = {"ray_block": 2048} if engine != "pallas" else {"ray_block": 2048}
+
+        @jax.jit
+        def run(o_j=o_j, d_j=d_j, engine=engine, kw=kw):
+            return trace(sa, o_j, d_j, engine=engine, **kw)
+
+        try:
+            res = run()
+            jax.block_until_ready(res.t)
+            dt = median_time(lambda: jax.block_until_ready(run().t))
+            mrays = args.rays / dt / 1e6
+            results[engine] = mrays
+            print(json.dumps({"bench": "trace", "engine": engine,
+                              "mrays_per_sec": round(mrays, 2),
+                              "ms": round(dt * 1e3, 3),
+                              "hit_rate": round(float(jnp.mean(res.hit)), 4)}))
+        except Exception as e:  # noqa: BLE001 - report and continue
+            print(json.dumps({"bench": "trace", "engine": engine,
+                              "error": str(e)[:200]}))
+
+    # full-frame benchmark per engine (KAIST preset geometry)
+    from radarays_ros_tpu.sim.config import Materials, RadarModelConfig, RadarParams
+    from radarays_ros_tpu.sim.pipeline import simulate_frame_jit
+    from radarays_ros_tpu.utils.transforms import make_pose
+
+    materials = Materials.from_list(
+        [dict(velocity=0.3, ambient=1.0, diffuse=0.0, specular=1.0),
+         dict(velocity=0.0, ambient=1.0, diffuse=0.0, specular=3000.0)])
+    params = jax.device_put(RadarParams.make(
+        materials, np.ones(scene.n_objects, np.int32), beam_width_deg=10.0))
+    pose = jnp.asarray(make_pose([0.0, 0.0, 2.0]))
+    key = jax.random.PRNGKey(0)
+
+    frame = {}
+    for engine in args.engines.split(","):
+        cfg = RadarModelConfig(
+            n_angles=400, n_cells=3424, resolution=0.0595238, n_samples=50,
+            n_reflections=4, beam_sample_dist=2, energy_max=0.72,
+            signal_max=110.0, signal_denoising=1,
+            signal_denoising_triangular_width=35,
+            signal_denoising_triangular_mode=0.35, ambient_noise=2,
+            record_multi_reflection=True, trace_engine=engine,
+            trace_ray_block=2048)
+        try:
+            res = simulate_frame_jit(sa, params, cfg, pose, key)
+            jax.block_until_ready(res.image_u8)
+            dt = median_time(lambda: jax.block_until_ready(
+                simulate_frame_jit(sa, params, cfg, pose, key).image_u8),
+                n=args.frames)
+            frame[engine] = 1.0 / dt
+            print(json.dumps({"bench": "frame", "engine": engine,
+                              "hz": round(1.0 / dt, 2),
+                              "ms": round(dt * 1e3, 1)}))
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"bench": "frame", "engine": engine,
+                              "error": str(e)[:200]}))
+
+    print(json.dumps({"summary": {"trace_mrays": results, "frame_hz": frame}}))
+
+
+if __name__ == "__main__":
+    main()

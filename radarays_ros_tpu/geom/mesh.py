@@ -253,3 +253,66 @@ def _load_stl(path: Path, chunk_size: int) -> Scene:
         rec = np.frombuffer(rest[4:4 + n * dt.itemsize], dt, n)
         verts = np.ascontiguousarray(rec["v"], np.float32)
     return Scene(verts, np.zeros(len(verts), np.int32), chunk_size=chunk_size)
+
+
+# ---------------------------------------------------------------- export
+
+def save_mesh(path, scene: Scene) -> None:
+    """Write a Scene back to disk (.obj with per-object groups, or binary
+    .ply / .stl as a single soup).
+
+    The counterpart of the reference's mesh_publisher tool (republishing the
+    scene for visualization, mesh_publisher.cpp:15-172): here the scene —
+    optionally re-posed via Scene.transformed (its `pre_transform`) — is
+    exported for any mesh viewer instead of a mesh_msgs topic.
+    """
+    path = Path(path)
+    ext = path.suffix.lower()
+    if ext == ".obj":
+        lines = []
+        vi = 1
+        names = scene.object_names or [
+            f"object_{i}" for i in range(scene.n_objects)]
+        for oid in range(scene.n_objects):
+            tris = scene.verts[scene.obj_ids == oid]
+            if not len(tris):
+                continue
+            lines.append(f"o {names[oid] if oid < len(names) else oid}")
+            for t in tris:
+                for v in t:
+                    lines.append(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}")
+                lines.append(f"f {vi} {vi + 1} {vi + 2}")
+                vi += 3
+        path.write_text("\n".join(lines) + "\n")
+    elif ext == ".ply":
+        T = scene.n_triangles
+        header = (
+            "ply\nformat binary_little_endian 1.0\n"
+            f"element vertex {T * 3}\n"
+            "property float x\nproperty float y\nproperty float z\n"
+            f"element face {T}\n"
+            "property list uchar int vertex_indices\n"
+            "property int object_id\n"
+            "end_header\n"
+        ).encode("ascii")
+        v = np.ascontiguousarray(scene.verts.reshape(-1, 3), "<f4")
+        face = np.empty(T, np.dtype([("n", "u1"), ("idx", "<i4", 3),
+                                     ("obj", "<i4")]))
+        face["n"] = 3
+        face["idx"] = np.arange(T * 3, dtype=np.int32).reshape(T, 3)
+        face["obj"] = scene.obj_ids
+        path.write_bytes(header + v.tobytes() + face.tobytes())
+    elif ext == ".stl":
+        T = scene.n_triangles
+        e1 = scene.verts[:, 1] - scene.verts[:, 0]
+        e2 = scene.verts[:, 2] - scene.verts[:, 0]
+        n = np.cross(e1, e2)
+        n /= np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-30)
+        rec = np.empty(T, np.dtype([("n", "<f4", 3), ("v", "<f4", (3, 3)),
+                                    ("attr", "<u2")]))
+        rec["n"] = n
+        rec["v"] = scene.verts
+        rec["attr"] = 0
+        path.write_bytes(b"\0" * 80 + struct.pack("<I", T) + rec.tobytes())
+    else:
+        raise ValueError(f"unsupported export format {ext}")

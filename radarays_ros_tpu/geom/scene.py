@@ -170,11 +170,14 @@ class Scene:
                 [obj_ids, np.full((pad,), INVALID_OBJ_ID, np.int32)]
             )
 
-        normals, planes_o, planes_d = _triangle_planes(verts)
-
-        chunks = verts.reshape(C, self.chunk_size, 3, 3)
-        lo = chunks.min(axis=(1, 2))
-        hi = chunks.max(axis=(1, 2))
+        if native_builder.available():
+            normals, planes_o, planes_d = native_builder.triangle_planes(verts)
+            lo, hi = native_builder.chunk_aabbs(verts, self.chunk_size)
+        else:
+            normals, planes_o, planes_d = _triangle_planes(verts)
+            chunks = verts.reshape(C, self.chunk_size, 3, 3)
+            lo = chunks.min(axis=(1, 2))
+            hi = chunks.max(axis=(1, 2))
 
         return SceneArrays(
             verts=verts,

@@ -31,20 +31,30 @@ def _lib():
         return None
     try:
         lib = ctypes.CDLL(str(so))
+        fp = ctypes.POINTER(ctypes.c_float)
         lib.rr_morton_order.argtypes = [
-            ctypes.POINTER(ctypes.c_float),  # centers (N,3)
+            fp,                              # centers (N,3)
             ctypes.c_int64,                  # N
             ctypes.POINTER(ctypes.c_int64),  # out order (N,)
         ]
         lib.rr_morton_order.restype = None
+        lib.rr_chunk_aabbs.argtypes = [
+            fp, ctypes.c_int64, ctypes.c_int64, fp, fp]
+        lib.rr_chunk_aabbs.restype = None
+        lib.rr_triangle_planes.argtypes = [fp, ctypes.c_int64, fp, fp, fp]
+        lib.rr_triangle_planes.restype = None
         _LIB = lib
-    except OSError:
+    except (OSError, AttributeError):
         _LIB = None
     return _LIB
 
 
 def available() -> bool:
     return _lib() is not None and os.environ.get("RADARAYS_NO_NATIVE", "0") != "1"
+
+
+def _fp(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
 
 
 def morton_order(centers: np.ndarray) -> np.ndarray:
@@ -54,8 +64,33 @@ def morton_order(centers: np.ndarray) -> np.ndarray:
     n = centers.shape[0]
     out = np.empty(n, np.int64)
     lib.rr_morton_order(
-        centers.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        ctypes.c_int64(n),
+        _fp(centers), ctypes.c_int64(n),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
     return out
+
+
+def chunk_aabbs(verts: np.ndarray, chunk_size: int):
+    """(C*chunk, 3, 3) verts -> ((C, 3) lo, (C, 3) hi) via the C++ builder."""
+    lib = _lib()
+    verts = np.ascontiguousarray(verts, np.float32)
+    c = verts.shape[0] // chunk_size
+    lo = np.empty((c, 3), np.float32)
+    hi = np.empty((c, 3), np.float32)
+    lib.rr_chunk_aabbs(_fp(verts), ctypes.c_int64(c),
+                       ctypes.c_int64(chunk_size), _fp(lo), _fp(hi))
+    return lo, hi
+
+
+def triangle_planes(verts: np.ndarray):
+    """(N, 3, 3) verts -> (normals (N,3), planes_o (4N,4), planes_d (4N,3))
+    via the C++ builder (same layout as geom/scene.py:_triangle_planes)."""
+    lib = _lib()
+    verts = np.ascontiguousarray(verts, np.float32)
+    n = verts.shape[0]
+    normals = np.empty((n, 3), np.float32)
+    planes_o = np.empty((4 * n, 4), np.float32)
+    planes_d = np.empty((4 * n, 3), np.float32)
+    lib.rr_triangle_planes(_fp(verts), ctypes.c_int64(n), _fp(normals),
+                           _fp(planes_o), _fp(planes_d))
+    return normals, planes_o, planes_d

@@ -96,4 +96,59 @@ void rr_chunk_aabbs(const float* verts, int64_t n_chunks, int64_t chunk,
   }
 }
 
+// Plane-equation coefficients for the MXU tracer (geom/scene.py
+// _triangle_planes): per triangle, a unit support plane [n | -n.v0] and
+// three unit edge planes oriented inward, interleaved as 4 rows of
+// planes_o (N*4, 4) / planes_d (N*4, 3), plus the unit geometric normal
+// (N, 3). verts: (N, 3, 3) float32 row-major.
+void rr_triangle_planes(const float* verts, int64_t n, float* normals_out,
+                        float* planes_o_out, float* planes_d_out) {
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    const float* v = verts + i * 9;
+    const float* v0 = v;
+    const float* v1 = v + 3;
+    const float* v2 = v + 6;
+    float e1[3], e2[3], nrm[3];
+    for (int k = 0; k < 3; ++k) {
+      e1[k] = v1[k] - v0[k];
+      e2[k] = v2[k] - v0[k];
+    }
+    nrm[0] = e1[1] * e2[2] - e1[2] * e2[1];
+    nrm[1] = e1[2] * e2[0] - e1[0] * e2[2];
+    nrm[2] = e1[0] * e2[1] - e1[1] * e2[0];
+    float len = std::sqrt(nrm[0] * nrm[0] + nrm[1] * nrm[1] + nrm[2] * nrm[2]);
+    const float inv_len = len > 1e-30f ? 1.0f / len : 0.0f;
+    for (int k = 0; k < 3; ++k) nrm[k] *= inv_len;
+    std::memcpy(normals_out + i * 3, nrm, 3 * sizeof(float));
+
+    // row 0: support plane
+    float* po = planes_o_out + i * 16;
+    float* pd = planes_d_out + i * 12;
+    float off0 = -(nrm[0] * v0[0] + nrm[1] * v0[1] + nrm[2] * v0[2]);
+    po[0] = nrm[0]; po[1] = nrm[1]; po[2] = nrm[2]; po[3] = off0;
+    pd[0] = nrm[0]; pd[1] = nrm[1]; pd[2] = nrm[2];
+
+    // rows 1..3: edge planes m_k = normalize(n x (b - a)), offset -m.a
+    const float* edges[3][2] = {{v0, v1}, {v1, v2}, {v2, v0}};
+    for (int e = 0; e < 3; ++e) {
+      const float* a = edges[e][0];
+      const float* b = edges[e][1];
+      float ab[3] = {b[0] - a[0], b[1] - a[1], b[2] - a[2]};
+      float m[3];
+      m[0] = nrm[1] * ab[2] - nrm[2] * ab[1];
+      m[1] = nrm[2] * ab[0] - nrm[0] * ab[2];
+      m[2] = nrm[0] * ab[1] - nrm[1] * ab[0];
+      float ml = std::sqrt(m[0] * m[0] + m[1] * m[1] + m[2] * m[2]);
+      const float inv_ml = ml > 1e-30f ? 1.0f / ml : 0.0f;
+      for (int k = 0; k < 3; ++k) m[k] *= inv_ml;
+      const float off = -(m[0] * a[0] + m[1] * a[1] + m[2] * a[2]);
+      float* por = po + (e + 1) * 4;
+      float* pdr = pd + (e + 1) * 3;
+      por[0] = m[0]; por[1] = m[1]; por[2] = m[2]; por[3] = off;
+      pdr[0] = m[0]; pdr[1] = m[1]; pdr[2] = m[2];
+    }
+  }
+}
+
 }  // extern "C"

@@ -58,10 +58,17 @@ def simulate_frame_sharded(scene, params, cfg, poses, key, mesh,
     scene = jax.device_put(scene, repl)
     params = jax.device_put(params, repl)
 
+    from radarays_ros_tpu.sim.pipeline import FrameResult
+
+    out_shardings = FrameResult(
+        image_u8=NamedSharding(mesh, P(None, axis_name)),    # (n_cells, A)
+        image_float=NamedSharding(mesh, P(axis_name, None)),  # (A, n_cells)
+        max_val=NamedSharding(mesh, P(axis_name)),            # (A,)
+    )
     fn = jax.jit(
         simulate_frame,
         static_argnames=("cfg",),
-        out_shardings=NamedSharding(mesh, P(None, axis_name)),
+        out_shardings=out_shardings,
     )
     return fn(scene, params, cfg, poses, key)
 
@@ -74,14 +81,19 @@ def psnr_loss(image_float, target_float, signal_max: float):
 
 @partial(jax.jit, static_argnames=("cfg", "lr"))
 def _train_step(scene, params, cfg, poses, key, target, lr):
-    def loss_fn(p):
+    # differentiate only the float state (materials + beam width);
+    # object_materials is an int32 lookup table
+    def loss_fn(materials, beam_width):
+        p = params._replace(materials=materials, beam_width=beam_width)
         res = simulate_frame(scene, p, cfg, poses, key)
         return psnr_loss(res.image_float, target, cfg.signal_max)
 
-    loss, grads = jax.value_and_grad(loss_fn)(params)
-    new_params = jax.tree_util.tree_map(
-        lambda x, g: (x - lr * g).astype(x.dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
-        params, grads,
+    loss, (g_mat, g_bw) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+        params.materials, params.beam_width)
+    new_params = params._replace(
+        materials=jax.tree_util.tree_map(
+            lambda x, g: x - lr * g, params.materials, g_mat),
+        beam_width=params.beam_width - lr * g_bw,
     )
     return loss, new_params
 

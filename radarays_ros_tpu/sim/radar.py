@@ -39,7 +39,12 @@ class Radar:
         params: Optional[RadarParams] = None,
         cfg: Optional[RadarModelConfig] = None,
         seed: int = 0,
+        verbose_timing: bool = False,
     ):
+        from radarays_ros_tpu.utils.profiling import StageTimer
+
+        self.timer = StageTimer(enabled=True)
+        self.verbose_timing = verbose_timing
         self.scene = scene
         self._scene_arrays = jax.tree_util.tree_map(
             lambda x: x, scene.device_arrays()
@@ -100,12 +105,25 @@ class Radar:
             self._noise_key, sub = jax.random.split(self._noise_key)
         else:
             sub = self._noise_key
+        import time
+
         import jax.numpy as jnp
 
-        return simulate_frame_jit(
+        t0 = time.perf_counter()
+        res = simulate_frame_jit(
             self._scene_arrays, self.params, self.cfg,
             jnp.asarray(pose, jnp.float32), (self._cone_key, sub),
         )
+        jax.block_until_ready(res.image_u8)
+        dt = time.perf_counter() - t0
+        self.timer.add("frame", dt)
+        if self.verbose_timing:
+            # per-frame wall-time print, as the reference engines do
+            # (RadarCPU.cpp:550-553)
+            n = self.timer.counts["frame"]
+            print(f"[radar] {dt * 1e3:8.2f} ms "
+                  f"(avg {self.timer.totals['frame'] / n * 1e3:.2f} ms over {n} frames)")
+        return res
 
     def simulate_image(self, pose=None, **kwargs) -> np.ndarray:
         """Convenience: uint8 (n_cells, n_angles) numpy polar image."""

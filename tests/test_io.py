@@ -263,3 +263,26 @@ def test_cli_rays_json(tiny_mesh_file, tmp_path):
     seg0 = data["segments"][0]
     assert seg0["medium"] == "air"
     assert seg0["bounce"] == 0
+
+
+def test_mesh_export_roundtrip(tmp_path):
+    """save_mesh (mesh_publisher counterpart) -> load_mesh round-trips."""
+    import numpy as np
+
+    from radarays_ros_tpu.geom.mesh import load_mesh, save_mesh
+    from radarays_ros_tpu.geom.primitives import make_box
+    from radarays_ros_tpu.geom.scene import Scene
+
+    s = Scene.compose([make_box((0, 0, 0), (2, 2, 2)),
+                       make_box((5, 0, 0), (1, 1, 1))], ["a", "b"])
+    for ext in ("obj", "ply", "stl"):
+        p = tmp_path / f"x.{ext}"
+        save_mesh(p, s)
+        s2 = load_mesh(p)
+        assert s2.n_triangles == s.n_triangles
+        np.testing.assert_allclose(
+            np.sort(s2.verts.reshape(-1, 3), axis=0),
+            np.sort(s.verts.reshape(-1, 3), axis=0), atol=1e-5)
+    # OBJ keeps per-object ids; PLY keeps them via the object_id face property
+    s_obj = load_mesh(tmp_path / "x.obj")
+    assert s_obj.n_objects == 2
