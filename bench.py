@@ -58,9 +58,8 @@ def build_benchmark():
         ambient_noise_energy_min=0.05,
         record_multi_reflection=True,
         record_multi_path=False,
-        trace_engine="culled",
+        trace_engine="pallas",
         trace_ray_block=2048,
-        trace_k_chunks=12,
     )
     key = jax.random.PRNGKey(0)
     return scene.device_arrays(), params, cfg, key

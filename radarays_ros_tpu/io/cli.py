@@ -217,5 +217,15 @@ def main(argv=None) -> int:
     return args.fn(args)
 
 
+def main_simulator() -> int:
+    """Console entry `radar-simulator` (the reference's node name)."""
+    return main(["simulate"] + sys.argv[1:])
+
+
+def main_ray_reflection() -> int:
+    """Console entry `ray-reflection-test` (the reference's debug node)."""
+    return main(["rays"] + sys.argv[1:])
+
+
 if __name__ == "__main__":
     sys.exit(main())

@@ -258,3 +258,27 @@ def simulate_frame(scene: SceneArrays, params: RadarParams,
 
 
 simulate_frame_jit = jax.jit(simulate_frame, static_argnames=("cfg",))
+
+
+def simulate_frames(scene: SceneArrays, params: RadarParams,
+                    cfg: RadarModelConfig, poses_batch, keys) -> FrameResult:
+    """Batched frames: vmap the whole pipeline over a pose/key batch.
+
+    For trajectory replay and serving, batching N frames into one XLA
+    program amortizes dispatch and keeps the MXU fed (the reference
+    processes one scan at a time end-to-end; there is no equivalent).
+
+    Args:
+      poses_batch: (N, 7) one pose per frame, or (N, n_angles, 7).
+      keys: (N,) jax PRNG keys (one per frame's noise stream).
+
+    Returns FrameResult with a leading N axis on every field.
+    """
+    def one(pose, key):
+        return simulate_frame(scene, params, cfg, pose, key)
+
+    return jax.vmap(one)(jnp.asarray(poses_batch, jnp.float32),
+                         jnp.asarray(keys))
+
+
+simulate_frames_jit = jax.jit(simulate_frames, static_argnames=("cfg",))

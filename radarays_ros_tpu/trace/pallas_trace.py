@@ -49,7 +49,9 @@ def _trace_kernel(mask_ref, o_ref, d_ref, po_ref, pd_ref,
     o_ref/d_ref: (1, 4, RB) homogeneous ray origins [x y z 1] / dirs [x y z 0].
     po_ref/pd_ref: (1, 4*Tc, 4) plane rows for this chunk, grouped
       [support | edge0 | edge1 | edge2] x Tc (dir rows lane-padded to 4).
-    best_t_ref/best_idx_ref: (1, RB) accumulators, persistent across chunks.
+    best_t_ref/best_idx_ref: (1, 1, RB) accumulators, persistent across
+      chunks (3-D so the block's trailing dims are (1, RB) with the 1 equal
+      to the array dim — the TPU (8, 128) tiling rule).
     """
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -80,9 +82,10 @@ def _trace_kernel(mask_ref, o_ref, d_ref, po_ref, pd_ref,
         local_i = jnp.min(
             jnp.where(t_masked == local_t, rows, _BIG_IDX), axis=0, keepdims=True
         )
-        better = local_t < best_t_ref[:]
-        best_t_ref[:] = jnp.where(better, local_t, best_t_ref[:])
-        best_idx_ref[:] = jnp.where(better, j * tc + local_i, best_idx_ref[:])
+        better = local_t[None] < best_t_ref[:]
+        best_t_ref[:] = jnp.where(better, local_t[None], best_t_ref[:])
+        best_idx_ref[:] = jnp.where(better, (j * tc + local_i)[None],
+                                    best_idx_ref[:])
 
 
 @functools.partial(
@@ -140,12 +143,14 @@ def _trace_pallas_impl(planes_o, planes_d, chunk_lo, chunk_hi, origs, dirs, *,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, RB), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, RB), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, RB), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, RB), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_blocks, RB), jnp.float32),
-            jax.ShapeDtypeStruct((n_blocks, RB), jnp.int32),
+            jax.ShapeDtypeStruct((n_blocks, 1, RB), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, 1, RB), jnp.int32),
         ],
         interpret=interpret,
     )(mask, o_aug, d_aug, po, pd)

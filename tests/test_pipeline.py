@@ -174,3 +174,28 @@ def test_energy_decreases_with_range_monotone_shading(box_setup):
     img = np.asarray(res.image_float)
     assert np.isfinite(img).all()
     assert img.min() >= 0.0
+
+
+def test_simulate_frames_batched_matches_loop(box_scene, simple_materials):
+    """vmapped multi-frame API must equal per-frame calls."""
+    import jax
+
+    from radarays_ros_tpu.sim.config import RadarModelConfig, RadarParams
+    from radarays_ros_tpu.sim.pipeline import simulate_frame, simulate_frames
+    from radarays_ros_tpu.utils.transforms import identity_pose, make_pose
+
+    cfg = RadarModelConfig(n_angles=8, n_cells=32, n_samples=2,
+                           n_reflections=1, resolution=0.5,
+                           signal_denoising=0, ambient_noise=2)
+    params = RadarParams.make(simple_materials, [1, 2], beam_width_deg=2.0)
+    scene = box_scene.device_arrays()
+    poses = np.stack([identity_pose(), make_pose([1.0, 0.5, 0.0])])
+    keys = jax.random.split(jax.random.PRNGKey(3), 2)
+
+    batched = simulate_frames(scene, params, cfg, poses, keys)
+    assert batched.image_u8.shape == (2, cfg.n_cells, cfg.n_angles)
+    for i in range(2):
+        single = simulate_frame(scene, params, cfg, poses[i], keys[i])
+        np.testing.assert_allclose(np.asarray(batched.image_float[i]),
+                                   np.asarray(single.image_float),
+                                   rtol=1e-5, atol=1e-5)
