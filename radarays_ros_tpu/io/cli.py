@@ -163,6 +163,25 @@ def cmd_info(args) -> int:
     return 0
 
 
+def cmd_eval(args) -> int:
+    # host-side analysis: run the tiny metric kernels on CPU rather than
+    # claiming (and possibly remote-compiling on) an accelerator
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from radarays_ros_tpu.opti.evaluate import evaluate_dirs
+
+    report = evaluate_dirs(args.real, args.sim,
+                           metrics=args.metrics.split(","), limit=args.limit)
+    if args.out:
+        Path(args.out).write_text(json.dumps(report, indent=2))
+    for m, s in report["summary"].items():
+        print(f"{m}: mean {s['mean']:.4f}  std {s['std']:.4f}  "
+              f"[{s['min']:.4f}, {s['max']:.4f}]  over {report['n_frames']} frames")
+    return 0
+
+
 def _common(p: argparse.ArgumentParser):
     p.add_argument("--mesh", required=True, help="scene mesh (.ply/.obj/.stl)")
     p.add_argument("--scene-config", help="materials YAML (reference format)")
@@ -209,6 +228,15 @@ def build_parser() -> argparse.ArgumentParser:
     info = sub.add_parser("info", help="mesh/scene statistics")
     _common(info)
     info.set_defaults(fn=cmd_info)
+
+    ev = sub.add_parser("eval", help="compare real vs simulated frame dirs")
+    ev.add_argument("--real", required=True, help="directory of real frames")
+    ev.add_argument("--sim", required=True, help="directory of sim frames")
+    ev.add_argument("--metrics", default="psnr,ssim",
+                    help="comma list: psnr,ssim,mi,nmi,voi,mae")
+    ev.add_argument("--limit", type=int)
+    ev.add_argument("--out", help="write the full JSON report here")
+    ev.set_defaults(fn=cmd_eval)
     return ap
 
 

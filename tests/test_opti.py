@@ -152,3 +152,43 @@ def test_radar_image_server(box_scene, simple_materials):
     img2 = server.gen_radar_image(goal_params=msg)
     assert img2.shape == (64, 8)
     assert float(server.radar.params.materials.ambient[1]) == pytest.approx(0.5)
+
+
+# ---------------------------------------------------------------- evaluate
+
+def test_evaluate_dirs(tmp_path, rng):
+    from radarays_ros_tpu.io.image_io import write_png_gray
+    from radarays_ros_tpu.opti.evaluate import evaluate_dirs
+
+    real_d = tmp_path / "real"; real_d.mkdir()
+    sim_d = tmp_path / "sim"; sim_d.mkdir()
+    for i in range(3):
+        a = rng.integers(0, 255, (32, 16), dtype=np.uint8)
+        noise = rng.integers(-10, 10, (32, 16))
+        b = np.clip(a.astype(int) + noise, 0, 255).astype(np.uint8)
+        write_png_gray(real_d / f"f{i}.png", a)
+        write_png_gray(sim_d / f"f{i}.png", b)
+    rep = evaluate_dirs(real_d, sim_d, metrics=("psnr", "ssim", "mae"))
+    assert rep["n_frames"] == 3
+    assert rep["summary"]["psnr"]["mean"] > 20.0
+    assert 0.0 < rep["summary"]["ssim"]["mean"] <= 1.0
+    assert rep["summary"]["mae"]["mean"] < 10.0
+
+
+def test_cli_eval(tmp_path, rng, capsys):
+    from radarays_ros_tpu.io.cli import main
+    from radarays_ros_tpu.io.image_io import write_png_gray
+
+    real_d = tmp_path / "real"; real_d.mkdir()
+    sim_d = tmp_path / "sim"; sim_d.mkdir()
+    a = rng.integers(0, 255, (16, 8), dtype=np.uint8)
+    write_png_gray(real_d / "f0.png", a)
+    write_png_gray(sim_d / "f0.png", a)
+    out = tmp_path / "report.json"
+    rc = main(["eval", "--real", str(real_d), "--sim", str(sim_d),
+               "--metrics", "psnr,mae", "--out", str(out)])
+    assert rc == 0
+    assert "psnr" in capsys.readouterr().out
+    import json as _json
+    rep = _json.loads(out.read_text())
+    assert rep["summary"]["mae"]["mean"] == 0.0
