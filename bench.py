@@ -69,7 +69,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from radarays_ros_tpu.sim.pipeline import simulate_frame_jit
+    from radarays_ros_tpu.sim.pipeline import simulate_frames_jit
     from radarays_ros_tpu.utils.transforms import make_pose
 
     scene, params, cfg, key = build_benchmark()
@@ -77,18 +77,29 @@ def main():
     params = jax.device_put(params)
     pose = jnp.asarray(make_pose([0.0, 0.0, 2.0]))
 
-    # warmup/compile
-    res = simulate_frame_jit(scene, params, cfg, pose, key)
-    jax.block_until_ready(res.image_u8)
+    # NOTE on methodology: through the axon relay, block_until_ready() does
+    # NOT reliably fence device execution — timing loops that only dispatch
+    # report fantasy numbers. Every measured iteration therefore FETCHES a
+    # scalar checksum of the frame batch, which forces real execution.
+    B = 10
+    poses = jnp.tile(pose[None], (B, 1))
 
-    n_frames = 20
-    keys = jax.random.split(key, n_frames)
+    @jax.jit
+    def run_batch(scene, params, poses, keys):
+        res = simulate_frames_jit(scene, params, cfg, poses, keys)
+        return jnp.sum(res.image_u8.astype(jnp.int32))
+
+    keys = jax.random.split(key, B)
+    int(run_batch(scene, params, poses, keys))  # warmup/compile
+
+    n_iters = 3
     t0 = time.perf_counter()
-    for i in range(n_frames):
-        res = simulate_frame_jit(scene, params, cfg, pose, keys[i])
-    jax.block_until_ready(res.image_u8)
+    for i in range(n_iters):
+        kb = jax.random.split(jax.random.fold_in(key, i + 1), B)
+        int(run_batch(scene, params, poses, kb))  # fetch -> hard fence
     dt = time.perf_counter() - t0
 
+    n_frames = n_iters * B
     fps = n_frames / dt
     rays_per_frame = cfg.n_angles * cfg.n_samples * (2 ** cfg.n_reflections - 1)
     mrays = fps * rays_per_frame / 1e6
@@ -104,6 +115,8 @@ def main():
             "n_triangles": int(scene.verts.shape[0]),
             "device": str(jax.devices()[0]),
             "trace_engine": cfg.trace_engine,
+            "batch": B,
+            "fenced": "checksum-fetch per batch",
         },
     }))
 

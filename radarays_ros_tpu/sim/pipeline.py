@@ -231,6 +231,7 @@ def simulate_frame(scene: SceneArrays, params: RadarParams,
         times, strengths, valid,
         n_cells=cfg.n_cells, resolution=cfg.resolution,
         denoise_weights=weights, denoise_mode=mode,
+        method=cfg.draw_method,
     )
 
     img = img * cfg.energy_max  # RadarCPU.cpp:453

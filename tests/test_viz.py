@@ -67,3 +67,48 @@ def test_polyline_grouping(box_scene, simple_materials, debug_cfg):
     groups = segments_to_polylines(res)
     assert set(groups) == {"air", "material"}
     assert len(groups["air"]) + len(groups["material"]) == len(res["segments"])
+
+
+# ---------------------------------------------------------------- panels
+
+def test_beam_panel_distributions():
+    from radarays_ros_tpu.viz.beams import beam_panel
+
+    panel = beam_panel(width_deg=8.0, n_samples=4000, p_in_cone=0.8, seed=1)
+    assert set(panel) == {"D1_uniform_radius", "D2_uniform_disk",
+                          "D3_normal", "D4_sqrt_normal"}
+    # D1/D2 are bounded by the cone: everything inside
+    assert panel["D1_uniform_radius"]["frac_in_cone"] == pytest.approx(1.0)
+    assert panel["D2_uniform_disk"]["frac_in_cone"] == pytest.approx(1.0)
+    # D3 lands ~p_in_cone of samples inside (|N(0,1)| <= z with p = 0.8
+    # two-sided -> the reference's contract)
+    assert panel["D3_normal"]["frac_in_cone"] == pytest.approx(0.8, abs=0.03)
+    # uniform-in-disk has more mass at large radii than uniform-in-radius
+    h1 = np.asarray(panel["D1_uniform_radius"]["r_hist"], float)
+    h2 = np.asarray(panel["D2_uniform_disk"]["r_hist"], float)
+    assert h2[-8:].sum() / h2.sum() > h1[-8:].sum() / h1.sum()
+
+
+def test_brdf_curve_shape():
+    from radarays_ros_tpu.viz.brdf import brdf_curve
+
+    c = brdf_curve(ambient=0.2, diffuse=0.5, specular=100.0, n_points=91)
+    e = np.asarray(c["energy"])
+    # at normal incidence: A + B; at grazing: ~A
+    assert e[0] == pytest.approx(0.7, abs=1e-5)
+    assert e[-1] == pytest.approx(0.2, abs=1e-3)
+    assert np.all(np.diff(e) <= 1e-6)  # monotone decreasing
+
+
+def test_fresnel_curve_physics():
+    from radarays_ros_tpu.viz.brdf import fresnel_curve
+
+    c = fresnel_curve(v1=0.3, v2=0.15)  # entering a slower medium
+    R = np.asarray(c["reflectance"])
+    T = np.asarray(c["transmittance"])
+    np.testing.assert_allclose(R + T, 1.0, atol=1e-5)  # energy conservation
+    assert R[-1] > 0.9          # grazing -> near-total reflection
+    assert not any(c["total_internal_reflection"])  # slow medium: no TIR
+
+    c2 = fresnel_curve(v1=0.15, v2=0.3)  # exiting into a faster medium
+    assert any(c2["total_internal_reflection"])     # TIR beyond critical angle
