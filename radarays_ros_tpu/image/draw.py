@@ -28,7 +28,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from radarays_ros_tpu.image.perlin import perlin_noise
+from radarays_ros_tpu.image.perlin import perlin_affine_rows, perlin_noise
 
 
 def bin_cells(times, resolution):
@@ -162,14 +162,16 @@ def apply_ambient_noise(img, max_val, cols, key, *, mode: int, resolution,
     if mode == 1:
         p = jax.random.uniform(k_uni, (A, n_cells), jnp.float32)
     else:
-        random_begin = (
-            jax.random.uniform(k_begin, (A, 1), jnp.float32) * 1000.0
-        )
-        y = cols.astype(jnp.float32)[:, None]
-        p1 = perlin_noise(random_begin + i * perlin_scale_low,
-                          y * perlin_scale_low)
-        p2 = perlin_noise(random_begin + i * perlin_scale_high,
-                          y * perlin_scale_high)
+        # integer per-row offsets let the fast affine-row Perlin share its
+        # lattice phase across rows (perlin.py:perlin_affine_rows) — same
+        # row decorrelation as the reference's continuous random begin
+        # (RadarCPU.cpp:461-463), ~20x cheaper on TPU
+        random_begin = jax.random.randint(k_begin, (A,), 0, 1000)
+        y = cols.astype(jnp.float32)
+        p1 = perlin_affine_rows(random_begin, y * perlin_scale_low,
+                                perlin_scale_low, n_cells)
+        p2 = perlin_affine_rows(random_begin, y * perlin_scale_high,
+                                perlin_scale_high, n_cells)
         p = perlin_p_low * p1 + (1.0 - perlin_p_low) * p2
 
     amp = max_val[:, None]

@@ -138,3 +138,95 @@ def perlin_noise_reference(src_x, src_y, src_z=0.0):
                      lerp(u, grad(p[AA + 1], x, y, z - 1), grad(p[BA + 1], x - 1, y, z - 1)),
                      lerp(u, grad(p[AB + 1], x, y - 1, z - 1),
                           grad(p[BB + 1], x - 1, y - 1, z - 1))))
+
+
+# ---------------------------------------------------------------- fast path
+
+def _grad_coef_tables():
+    """grad(h, x, y, 0) is affine in (x, y): grad = alpha(h)*x + beta(h)*y.
+
+    Derived from _grad: u = x if h<8 else y (sign from h&1); v = y if h<4,
+    x if h in {12, 14}, else z=0 (sign from h&2)."""
+    alpha = np.zeros(16, np.float32)
+    beta = np.zeros(16, np.float32)
+    for h in range(16):
+        su = 1.0 if (h & 1) == 0 else -1.0
+        sv = 1.0 if (h & 2) == 0 else -1.0
+        if h < 8:
+            alpha[h] += su
+        else:
+            beta[h] += su
+        if h < 4:
+            beta[h] += sv
+        elif h in (12, 14):
+            alpha[h] += sv
+    return alpha, beta
+
+
+_GRAD_ALPHA, _GRAD_BETA = _grad_coef_tables()
+
+
+def perlin_affine_rows(x0_int, y, scale: float, n_cells: int):
+    """Rowwise 2-D Perlin for x = x0_int[a] + i*scale, i = 0..n_cells-1.
+
+    EXACTLY equals perlin_noise(x0_int[:, None] + i*scale, y[:, None]) when
+    x0_int is integer-valued — but runs ~20x faster on TPU: because the x
+    lattice phase is shared across rows (integer offsets), the per-cell
+    corner-constant expansion is ONE static 0/1 selection matmul instead of
+    1.4M-element table gathers. Corner hashing touches only (A, K) lattice
+    points (K = number of lattice intervals spanned by the row).
+
+    Used by the ambient-noise stage (image/draw.py) with integer random row
+    offsets — the reference's continuous random_begin (RadarCPU.cpp:461-463)
+    decorrelates rows, which integer offsets do equally well; parity tests
+    compare distributions, not samples (SURVEY.md §7).
+    """
+    x0_int = jnp.asarray(x0_int, jnp.int32)            # (A,)
+    y = jnp.asarray(y, jnp.float32)                    # (A,)
+    A = x0_int.shape[0]
+    perm = jnp.asarray(PERM)
+
+    # shared per-cell lattice data
+    i = np.arange(n_cells, dtype=np.float64) * float(scale)
+    k_cell = np.floor(i).astype(np.int32)              # (n_cells,) interval id
+    t = jnp.asarray((i - np.floor(i)).astype(np.float32))   # frac, shared
+    u = _fade(t)
+    K = int(k_cell[-1]) + 1                            # lattice intervals
+    sel = jnp.asarray(
+        (k_cell[None, :] == np.arange(K)[:, None]).astype(np.float32))
+
+    # per-row y lattice data
+    fy = jnp.floor(y)
+    Y = fy.astype(jnp.int32) & 255
+    yf = y - fy
+    v = _fade(yf)
+
+    # corner hashes on the (A, K+1) lattice
+    Xk = (x0_int[:, None] + jnp.arange(K + 1, dtype=jnp.int32)[None, :]) & 255
+    Acol = perm[Xk] + Y[:, None]
+    Bcol = perm[Xk + 1] + Y[:, None]
+    hAA = perm[perm[Acol]] & 15
+    hAB = perm[perm[Acol + 1]] & 15
+    hBA = perm[perm[Bcol]] & 15
+    hBB = perm[perm[Bcol + 1]] & 15
+
+    ga = jnp.asarray(_GRAD_ALPHA)
+    gb = jnp.asarray(_GRAD_BETA)
+    v_ = v[:, None]
+    yf_ = yf[:, None]
+    # interval k's A corner hashes sit at lattice index k; its B corner is
+    # already the "+1" lattice point via Bcol = perm[Xk + 1]
+    a0 = ((1 - v_) * ga[hAA] + v_ * ga[hAB])[:, :K]
+    c0 = ((1 - v_) * gb[hAA] * yf_ + v_ * gb[hAB] * (yf_ - 1.0))[:, :K]
+    a1 = ((1 - v_) * ga[hBA] + v_ * ga[hBB])[:, :K]
+    c1 = ((1 - v_) * gb[hBA] * yf_ + v_ * gb[hBB] * (yf_ - 1.0))[:, :K]
+
+    # expand per-interval constants to per-cell via the shared selection
+    A0 = jnp.dot(a0, sel, preferred_element_type=jnp.float32)
+    C0 = jnp.dot(c0, sel, preferred_element_type=jnp.float32)
+    A1 = jnp.dot(a1, sel, preferred_element_type=jnp.float32)
+    C1 = jnp.dot(c1, sel, preferred_element_type=jnp.float32)
+
+    t_ = t[None, :]
+    u_ = u[None, :]
+    return (1.0 - u_) * (t_ * A0 + C0) + u_ * ((t_ - 1.0) * A1 + C1)

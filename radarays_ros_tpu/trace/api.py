@@ -52,6 +52,9 @@ def trace(scene_arrays, origs, dirs, engine: str = "mxu", **kwargs) -> TraceResu
     elif engine == "pallas":
         from radarays_ros_tpu.trace.pallas_trace import trace_pallas
         res = trace_pallas(scene_arrays, o, d, **kwargs)
+    elif engine == "pallas2":
+        from radarays_ros_tpu.trace.pallas_trace import trace_pallas_v2
+        res = trace_pallas_v2(scene_arrays, o, d, **kwargs)
     else:
         raise ValueError(f"unknown trace engine {engine!r}")
     return TraceResult(

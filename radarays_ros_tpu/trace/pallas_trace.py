@@ -184,3 +184,147 @@ def trace_pallas(scene, origs, dirs, t_min: float = 0.0, t_max: float = 1000.0,
         t_min=t_min, t_max=t_max, interpret=interpret,
     )
     return _finalize(scene, origs, dirs, best_idx, best_t)
+
+
+def _trace_kernel_v2(mask_ref, o_ref, d_ref, po_ref, pd_ref,
+                     best_t_ref, best_idx_ref, *, tc: int, n_chunks: int,
+                     t_min: float, t_max: float):
+    """v2: one grid step per ray block; the chunk sweep is an in-kernel loop.
+
+    The whole scene's grouped plane tensors live in VMEM across all grid
+    steps (few MB for ~30k triangles), so chunk skipping costs one masked
+    branch instead of a Mosaic grid iteration — the per-grid-cell overhead of
+    the v1 (blocks x chunks) grid dominated its runtime for real scenes.
+    """
+    i = pl.program_id(0)
+
+    best_t_ref[:] = jnp.full(best_t_ref.shape, jnp.inf, jnp.float32)
+    best_idx_ref[:] = jnp.zeros(best_idx_ref.shape, jnp.int32)
+
+    o = o_ref[0]
+    d = d_ref[0]
+
+    def chunk_body(j, _):
+        @pl.when(mask_ref[i, j] != 0)
+        def _compute():
+            po = po_ref[pl.ds(j * 4 * tc, 4 * tc), :]
+            pd = pd_ref[pl.ds(j * 4 * tc, 4 * tc), :]
+            so = jnp.dot(po, o, preferred_element_type=jnp.float32)
+            sd = jnp.dot(pd, d, preferred_element_type=jnp.float32)
+            so_s, sd_s = so[0:tc], sd[0:tc]
+            denom_ok = jnp.abs(sd_s) > _DIR_EPS
+            t = -so_s / jnp.where(denom_ok, sd_s, 1.0)
+            inside = (
+                (so[tc:2 * tc] + t * sd[tc:2 * tc] >= -_INSIDE_EPS)
+                & (so[2 * tc:3 * tc] + t * sd[2 * tc:3 * tc] >= -_INSIDE_EPS)
+                & (so[3 * tc:4 * tc] + t * sd[3 * tc:4 * tc] >= -_INSIDE_EPS)
+            )
+            hit = denom_ok & inside & (t >= t_min) & (t <= t_max)
+            t_masked = jnp.where(hit, t, jnp.inf)             # (Tc, RB)
+            local_t = jnp.min(t_masked, axis=0, keepdims=True)
+            rows = jax.lax.broadcasted_iota(jnp.int32, t_masked.shape, 0)
+            local_i = jnp.min(
+                jnp.where(t_masked == local_t, rows, _BIG_IDX),
+                axis=0, keepdims=True)
+            better = local_t[None] < best_t_ref[:]
+            best_t_ref[:] = jnp.where(better, local_t[None], best_t_ref[:])
+            best_idx_ref[:] = jnp.where(
+                better, (j * tc + local_i)[None], best_idx_ref[:])
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("chunk_size", "ray_block", "t_min", "t_max", "interpret"),
+)
+def _trace_pallas_v2_impl(planes_o, planes_d, chunk_lo, chunk_hi, origs, dirs,
+                          *, chunk_size: int, ray_block: int, t_min: float,
+                          t_max: float, interpret: bool):
+    tc = chunk_size
+    C = planes_o.shape[0] // (4 * tc)
+    R = origs.shape[0]
+    RB = ray_block
+    pad = (-R) % RB
+    o = jnp.concatenate([origs, jnp.zeros((pad, 3), jnp.float32)], axis=0)
+    d = jnp.concatenate([dirs, jnp.ones((pad, 3), jnp.float32)], axis=0)
+    n_blocks = o.shape[0] // RB
+
+    ones = jnp.ones((o.shape[0], 1), jnp.float32)
+    zeros = jnp.zeros((o.shape[0], 1), jnp.float32)
+    o_aug = jnp.concatenate([o, ones], axis=-1).reshape(n_blocks, RB, 4)
+    o_aug = o_aug.transpose(0, 2, 1)
+    d_aug = jnp.concatenate([d, zeros], axis=-1).reshape(n_blocks, RB, 4)
+    d_aug = d_aug.transpose(0, 2, 1)
+
+    po = planes_o.reshape(C, tc, 4, 4).transpose(0, 2, 1, 3).reshape(C * 4 * tc, 4)
+    pd_rows = planes_d.reshape(C, tc, 4, 3).transpose(0, 2, 1, 3)
+    pd = jnp.concatenate(
+        [pd_rows, jnp.zeros((C, 4, tc, 1), jnp.float32)], axis=-1
+    ).reshape(C * 4 * tc, 4)
+
+    inv_d = 1.0 / jnp.where(jnp.abs(d) > _DIR_EPS, d,
+                            jnp.where(d >= 0, _DIR_EPS, -_DIR_EPS))
+    _, overlap = _ray_aabb(o, inv_d, chunk_lo, chunk_hi)
+    mask = overlap.reshape(n_blocks, RB, C).any(axis=1).astype(jnp.int32)
+
+    kernel = functools.partial(
+        _trace_kernel_v2, tc=tc, n_chunks=C,
+        t_min=float(t_min), t_max=float(t_max))
+
+    best_t, best_idx = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # (B, C) skip mask
+            pl.BlockSpec((1, 4, RB), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, RB), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # whole-scene plane tensors, resident across all grid steps
+            pl.BlockSpec((C * 4 * tc, 4), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C * 4 * tc, 4), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, RB), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, RB), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_blocks, 1, RB), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, 1, RB), jnp.int32),
+        ],
+        interpret=interpret,
+    )(mask, o_aug, d_aug, po, pd)
+
+    return best_t.reshape(-1)[:R], best_idx.reshape(-1)[:R]
+
+
+def trace_pallas_v2(scene, origs, dirs, t_min: float = 0.0,
+                    t_max: float = 1000.0, ray_block: int = 512,
+                    interpret: bool | None = None, **_ignored):
+    """v2 Pallas trace: in-kernel chunk sweep, scene planes VMEM-resident.
+
+    Best for scenes whose plane tensors fit VMEM (~<= 40k triangles at
+    chunk 256); falls back conceptually to trace_pallas for larger scenes.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    chunk_size = scene.verts.shape[0] // scene.chunk_aabb_lo.shape[0]
+    if chunk_size % 8 != 0:
+        raise ValueError(
+            f"pallas trace needs chunk_size % 8 == 0, got {chunk_size}")
+    if ray_block % 128 != 0:
+        raise ValueError(f"ray_block must be a multiple of 128, got {ray_block}")
+    best_t, best_idx = _trace_pallas_v2_impl(
+        jnp.asarray(scene.planes_o), jnp.asarray(scene.planes_d),
+        jnp.asarray(scene.chunk_aabb_lo), jnp.asarray(scene.chunk_aabb_hi),
+        jnp.asarray(origs), jnp.asarray(dirs),
+        chunk_size=chunk_size, ray_block=ray_block,
+        t_min=t_min, t_max=t_max, interpret=interpret,
+    )
+    return _finalize(scene, origs, dirs, best_idx, best_t)
