@@ -66,7 +66,16 @@ def build_benchmark():
 
 
 def main():
+    import pathlib
+
     import jax
+
+    # persistent compile cache: first-compile latency through the remote
+    # relay is minutes; later runs (including the driver's) reuse the cache
+    jax.config.update("jax_compilation_cache_dir",
+                      str(pathlib.Path(__file__).parent / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     from radarays_ros_tpu.sim.pipeline import simulate_frames_jit

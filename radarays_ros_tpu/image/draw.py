@@ -92,8 +92,9 @@ def draw_signals(times, strengths, valid, *, n_cells: int, resolution,
       valid:     (A, N) bool mask.
       denoise_weights: static (W,) kernel (mode tap scaled to 1.0) or None.
       denoise_mode: integer mode offset of the kernel.
-      method:    "scatter" (XLA scatter binning) or "sort" (sort + cumsum +
-                 searchsorted binning) — identical results, different TPU
+      method:    "scatter" (XLA scatter binning), "sort" (sort + cumsum +
+                 searchsorted) or "pallas" (one-hot accumulate kernel,
+                 image/pallas_draw.py) — identical results, different TPU
                  cost profiles.
 
     Returns (image (A, n_cells) float32, max_val (A,)) where max_val is the
@@ -109,6 +110,13 @@ def draw_signals(times, strengths, valid, *, n_cells: int, resolution,
         W = w.shape[0]
         if method == "sort":
             point = _rowwise_bin_sum(cell, strengths, ok, n_cells)
+        elif method == "pallas":
+            from radarays_ros_tpu.image.pallas_draw import bin_signals_pallas
+
+            point = bin_signals_pallas(
+                jnp.where(ok, cell, n_cells), jnp.where(ok, strengths, 0.0),
+                n_cells=n_cells, combine="sum",
+                interpret=jax.default_backend() != "tpu")
         else:
             az = jnp.broadcast_to(
                 jnp.arange(A, dtype=jnp.int32)[:, None], (A, N))
@@ -126,6 +134,14 @@ def draw_signals(times, strengths, valid, *, n_cells: int, resolution,
     else:
         if method == "sort":
             img = _rowwise_bin_max(cell, strengths, ok, n_cells)
+        elif method == "pallas":
+            from radarays_ros_tpu.image.pallas_draw import bin_signals_pallas
+
+            img = bin_signals_pallas(
+                jnp.where(ok, cell, n_cells),
+                jnp.where(ok, strengths, -jnp.inf),
+                n_cells=n_cells, combine="max",
+                interpret=jax.default_backend() != "tpu")
         else:
             az = jnp.broadcast_to(
                 jnp.arange(A, dtype=jnp.int32)[:, None], (A, N))

@@ -186,14 +186,17 @@ def perlin_affine_rows(x0_int, y, scale: float, n_cells: int):
     A = x0_int.shape[0]
     perm = jnp.asarray(PERM)
 
-    # shared per-cell lattice data
-    i = np.arange(n_cells, dtype=np.float64) * float(scale)
-    k_cell = np.floor(i).astype(np.int32)              # (n_cells,) interval id
-    t = jnp.asarray((i - np.floor(i)).astype(np.float32))   # frac, shared
+    # shared per-cell lattice data — computed on device (embedding the
+    # (K, n_cells) selection as a literal would bloat the HLO by megabytes
+    # and slow remote compilation)
+    i = jnp.arange(n_cells, dtype=jnp.float32) * jnp.float32(scale)
+    fi = jnp.floor(i)
+    k_cell = fi.astype(jnp.int32)                      # (n_cells,) interval id
+    t = i - fi                                         # frac, shared
     u = _fade(t)
-    K = int(k_cell[-1]) + 1                            # lattice intervals
-    sel = jnp.asarray(
-        (k_cell[None, :] == np.arange(K)[:, None]).astype(np.float32))
+    K = int(np.floor((n_cells - 1) * float(scale))) + 1    # lattice intervals
+    sel = (k_cell[None, :] ==
+           jnp.arange(K, dtype=jnp.int32)[:, None]).astype(jnp.float32)
 
     # per-row y lattice data
     fy = jnp.floor(y)

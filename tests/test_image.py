@@ -238,3 +238,45 @@ def test_normalize_to_u8():
     # saturation
     out = np.asarray(normalize_to_u8(jnp.array([[4.0]]), jnp.array([1.0]), 120.0))
     assert out[0, 0] == 255
+
+
+def test_draw_methods_parity(rng):
+    """scatter / sort / pallas binning must agree in both combine modes."""
+    import jax.numpy as jnp
+
+    from radarays_ros_tpu.image.draw import draw_signals
+
+    A, N, C = 16, 40, 96
+    times = jnp.asarray(rng.uniform(0, C * 0.5 / 0.3 * 2 * 1.2, (A, N)).astype(np.float32))
+    s = jnp.asarray(rng.uniform(0, 1, (A, N)).astype(np.float32))
+    ok = jnp.asarray(rng.uniform(size=(A, N)) < 0.7)
+    w = np.array([0.2, 0.6, 1.0, 0.5], np.float32)
+    for dn in (w, None):
+        ref = draw_signals(times, s, ok, n_cells=C, resolution=0.5,
+                           denoise_weights=dn, denoise_mode=2,
+                           method="scatter")
+        for m in ("sort", "pallas"):
+            got = draw_signals(times, s, ok, n_cells=C, resolution=0.5,
+                               denoise_weights=dn, denoise_mode=2, method=m)
+            np.testing.assert_allclose(np.asarray(ref[0]), np.asarray(got[0]),
+                                       rtol=1e-5, atol=1e-5)
+            np.testing.assert_allclose(np.asarray(ref[1]), np.asarray(got[1]),
+                                       rtol=1e-5, atol=1e-5)
+
+
+def test_perlin_affine_rows_matches_general():
+    """Fast affine-row Perlin == general path for integer row offsets."""
+    import numpy as np
+
+    from radarays_ros_tpu.image.perlin import perlin_affine_rows, perlin_noise
+
+    r = np.random.default_rng(5)
+    A, C = 9, 160
+    for scale in (0.25, 0.05, 0.2):
+        x0 = r.integers(0, 1000, A)
+        y = r.uniform(0, 80, A).astype(np.float32)
+        ref = np.asarray(perlin_noise(
+            x0[:, None] + np.arange(C)[None, :] * scale,
+            np.broadcast_to(y[:, None], (A, C))))
+        fast = np.asarray(perlin_affine_rows(x0, y, scale, C))
+        np.testing.assert_allclose(ref, fast, atol=1e-4)

@@ -135,3 +135,16 @@ def test_batched_shape_passthrough(box_scene):
     res = trace(sa, o, d, engine="mxu")
     assert res.hit.shape == (4, 8)
     assert res.normal.shape == (4, 8, 3)
+
+
+def test_pallas_v2_engine_parity(box_scene, rng):
+    """v2 Pallas kernel (in-kernel chunk sweep) must match brute exactly."""
+    sa = box_scene.device_arrays()
+    o, d = _rays_from_origin(300, rng)
+    ref = trace(sa, o, d, engine="brute")
+    got = trace(sa, o, d, engine="pallas2", ray_block=128)
+    np.testing.assert_array_equal(np.asarray(ref.hit), np.asarray(got.hit))
+    hit = np.asarray(ref.hit)
+    np.testing.assert_allclose(np.asarray(ref.t)[hit], np.asarray(got.t)[hit],
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(ref.obj_id), np.asarray(got.obj_id))
