@@ -60,6 +60,7 @@ def build_benchmark():
         record_multi_path=False,
         trace_engine="pallas",
         trace_ray_block=2048,
+        draw_method="pallas",
     )
     key = jax.random.PRNGKey(0)
     return scene.device_arrays(), params, cfg, key

@@ -3,18 +3,21 @@
 The per-frame signal draw scatters ~3e5 (azimuth, cell, strength) updates
 into the (400, n_cells) polar image. XLA lowers duplicate-index scatter on
 TPU to a serialized update loop (~47 ms measured); this kernel instead
-sweeps the signal list once per 8-azimuth row group and accumulates a
-VMEM-resident (8, n_cells) tile with vectorized one-hot FMAs:
+sweeps the signal list once and accumulates a VMEM-resident image tile with
+vectorized one-hot FMAs — no scatter anywhere.
 
-    acc += s[:, n:n+1] * (cell_iota == cell[:, n:n+1])
+Layout: azimuths ride the LANE axis (padded to a 128 multiple) and the
+signal index rides the SUBLANE axis, because Mosaic only supports dynamic
+indexing on the sublane dimension (`ref[pl.ds(n, 1), :]`); per signal n the
+kernel broadcasts the (1, L) cell row against a (n_cells, L) iota and FMAs:
 
-one VPU op sequence per signal over the whole row — no scatter anywhere.
+    acc += where(cell_iota == cell[n], s[n], 0)
+
 The counterpart of the reference's draw_signals CUDA kernel
 (radar_algorithms.cu:730-849), reorganized for a vector machine.
 
-Modes: sum (denoise splat point image; the kernel's output then runs
-through the XLA denoise convolution) and max (no-denoise max-combine,
-RadarCPU.cpp:434-448).
+Modes: sum (denoise splat point image; the output then runs through the XLA
+denoise convolution) and max (no-denoise max-combine, RadarCPU.cpp:434-448).
 """
 
 from __future__ import annotations
@@ -29,55 +32,66 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _bin_kernel(cell_ref, s_ref, out_ref, *, n_cells: int, n_signals: int,
                 combine: str):
-    rows = cell_ref.shape[1]
+    L = cell_ref.shape[2]
     init = 0.0 if combine == "sum" else -jnp.inf
-    acc0 = jnp.full((rows, n_cells), init, jnp.float32)
-    col = jax.lax.broadcasted_iota(jnp.int32, (rows, n_cells), 1)
+    out_ref[0] = jnp.full((n_cells, L), init, jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n_cells, L), 0)
 
-    def body(n, acc):
-        c = cell_ref[0, :, n][:, None]                  # (rows, 1)
-        s = s_ref[0, :, n][:, None]
+    def body(n, _):
+        c = cell_ref[0, pl.ds(n, 1), :]                 # (1, L)
+        s = s_ref[0, pl.ds(n, 1), :]
         hit = col == c
         if combine == "sum":
-            return acc + jnp.where(hit, s, 0.0)
-        return jnp.where(hit, jnp.maximum(acc, s), acc)
+            out_ref[0] = out_ref[0] + jnp.where(hit, s, 0.0)
+        else:
+            out_ref[0] = jnp.where(hit, jnp.maximum(out_ref[0], s), out_ref[0])
+        return 0
 
-    acc = jax.lax.fori_loop(0, n_signals, body, acc0)
+    jax.lax.fori_loop(0, n_signals, body, 0)
     if combine == "max":
-        acc = jnp.maximum(acc, 0.0)
-    out_ref[0] = acc
+        out_ref[0] = jnp.maximum(out_ref[0], 0.0)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n_cells", "combine", "rows", "interpret"))
+                   static_argnames=("n_cells", "combine", "lanes", "interpret"))
 def bin_signals_pallas(cell, s, *, n_cells: int, combine: str = "sum",
-                       rows: int = 8, interpret: bool = False):
+                       lanes: int = 128, interpret: bool = False):
     """Bin (A, N) signals -> (A, n_cells); `cell` must already encode
     invalid signals as an out-of-range value (e.g. n_cells)."""
     A, N = cell.shape
-    pad = (-A) % rows
-    if pad:
+    pad_n = (-N) % 8
+    if pad_n:
         cell = jnp.concatenate(
-            [cell, jnp.full((pad, N), n_cells, cell.dtype)], axis=0)
-        s = jnp.concatenate([s, jnp.zeros((pad, N), s.dtype)], axis=0)
-    G = cell.shape[0] // rows
-    cell_g = cell.reshape(G, rows, N)
-    s_g = s.reshape(G, rows, N)
+            [cell, jnp.full((A, pad_n), n_cells, cell.dtype)], axis=1)
+        s = jnp.concatenate([s, jnp.zeros((A, pad_n), s.dtype)], axis=1)
+    pad_a = (-A) % lanes
+    if pad_a:
+        cell = jnp.concatenate(
+            [cell, jnp.full((pad_a, cell.shape[1]), n_cells, cell.dtype)],
+            axis=0)
+        s = jnp.concatenate(
+            [s, jnp.zeros((pad_a, s.shape[1]), s.dtype)], axis=0)
+    Ap, Np = cell.shape
+    G = Ap // lanes
+    # (G, Np, lanes): signals on sublanes, azimuths on lanes
+    cell_g = cell.reshape(G, lanes, Np).transpose(0, 2, 1)
+    s_g = s.reshape(G, lanes, Np).transpose(0, 2, 1)
 
-    kernel = functools.partial(_bin_kernel, n_cells=n_cells, n_signals=N,
+    kernel = functools.partial(_bin_kernel, n_cells=n_cells, n_signals=Np,
                                combine=combine)
     out = pl.pallas_call(
         kernel,
         grid=(G,),
         in_specs=[
-            pl.BlockSpec((1, rows, N), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, Np, lanes), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rows, N), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, Np, lanes), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, rows, n_cells), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, n_cells, lanes), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((G, rows, n_cells), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((G, n_cells, lanes), jnp.float32),
         interpret=interpret,
     )(cell_g, s_g)
-    return out.reshape(G * rows, n_cells)[:A]
+    # (G, n_cells, lanes) -> (A, n_cells)
+    return out.transpose(0, 2, 1).reshape(Ap, n_cells)[:A]

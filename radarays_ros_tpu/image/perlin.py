@@ -166,6 +166,34 @@ def _grad_coef_tables():
 _GRAD_ALPHA, _GRAD_BETA = _grad_coef_tables()
 
 
+def _fused_hash_tables():
+    """G[x, y]  = perm[perm[perm[x] + y]] & 15   (the A-corner hash)
+       G2[x, y] = perm[perm[perm[x] + y + 1]] & 15 (the AB/BB corner hash)
+
+    Fusing the reference's three-level permutation chain into two (256, 256)
+    lookup tables turns 10 chained table gathers per octave into 4."""
+    x = np.arange(256)
+    y = np.arange(256)
+    a = PERM[x][:, None] + y[None, :]          # (256, 256) in [0, 510]
+    g = PERM[PERM[a]] & 15
+    g2 = PERM[PERM[a + 1]] & 15
+    return g.astype(np.int32), g2.astype(np.int32)
+
+
+_HASH_G, _HASH_G2 = _fused_hash_tables()
+
+
+def _alpha_beta(h):
+    """Arithmetic gradient coefficients (no 16-entry table gather):
+    grad(h, x, y, 0) = alpha*x + beta*y with h already masked to 4 bits."""
+    su = jnp.where(h & 1 == 0, 1.0, -1.0)
+    sv = jnp.where(h & 2 == 0, 1.0, -1.0)
+    lo8 = h < 8
+    alpha = jnp.where(lo8, su, 0.0) + jnp.where((h == 12) | (h == 14), sv, 0.0)
+    beta = jnp.where(lo8, 0.0, su) + jnp.where(h < 4, sv, 0.0)
+    return alpha, beta
+
+
 def perlin_affine_rows(x0_int, y, scale: float, n_cells: int):
     """Rowwise 2-D Perlin for x = x0_int[a] + i*scale, i = 0..n_cells-1.
 
@@ -204,25 +232,30 @@ def perlin_affine_rows(x0_int, y, scale: float, n_cells: int):
     yf = y - fy
     v = _fade(yf)
 
-    # corner hashes on the (A, K+1) lattice
+    # corner hashes on the (A, K+1) lattice via the fused (256, 256) tables:
+    # flat index x*256 + y, 4 gathers total (vs 10 chained perm gathers)
+    g_flat = jnp.asarray(_HASH_G.reshape(-1))
+    g2_flat = jnp.asarray(_HASH_G2.reshape(-1))
     Xk = (x0_int[:, None] + jnp.arange(K + 1, dtype=jnp.int32)[None, :]) & 255
-    Acol = perm[Xk] + Y[:, None]
-    Bcol = perm[Xk + 1] + Y[:, None]
-    hAA = perm[perm[Acol]] & 15
-    hAB = perm[perm[Acol + 1]] & 15
-    hBA = perm[perm[Bcol]] & 15
-    hBB = perm[perm[Bcol + 1]] & 15
+    Xk1 = (Xk + 1) & 255
+    yi = Y[:, None]
+    hAA = g_flat[Xk * 256 + yi]
+    hAB = g2_flat[Xk * 256 + yi]
+    hBA = g_flat[Xk1 * 256 + yi]
+    hBB = g2_flat[Xk1 * 256 + yi]
 
-    ga = jnp.asarray(_GRAD_ALPHA)
-    gb = jnp.asarray(_GRAD_BETA)
+    aAA, bAA = _alpha_beta(hAA)
+    aAB, bAB = _alpha_beta(hAB)
+    aBA, bBA = _alpha_beta(hBA)
+    aBB, bBB = _alpha_beta(hBB)
     v_ = v[:, None]
     yf_ = yf[:, None]
     # interval k's A corner hashes sit at lattice index k; its B corner is
-    # already the "+1" lattice point via Bcol = perm[Xk + 1]
-    a0 = ((1 - v_) * ga[hAA] + v_ * ga[hAB])[:, :K]
-    c0 = ((1 - v_) * gb[hAA] * yf_ + v_ * gb[hAB] * (yf_ - 1.0))[:, :K]
-    a1 = ((1 - v_) * ga[hBA] + v_ * ga[hBB])[:, :K]
-    c1 = ((1 - v_) * gb[hBA] * yf_ + v_ * gb[hBB] * (yf_ - 1.0))[:, :K]
+    # the "+1" lattice point
+    a0 = ((1 - v_) * aAA + v_ * aAB)[:, :K]
+    c0 = ((1 - v_) * bAA * yf_ + v_ * bAB * (yf_ - 1.0))[:, :K]
+    a1 = ((1 - v_) * aBA + v_ * aBB)[:, :K]
+    c1 = ((1 - v_) * bBA * yf_ + v_ * bBB * (yf_ - 1.0))[:, :K]
 
     # expand per-interval constants to per-cell via the shared selection
     A0 = jnp.dot(a0, sel, preferred_element_type=jnp.float32)
