@@ -98,6 +98,42 @@ def cmd_simulate(args) -> int:
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
     fmt = args.format
+
+    if args.batch > 1:
+        # throughput mode: render in jitted multi-frame batches
+        import jax
+        import numpy as np_
+
+        from radarays_ros_tpu.sim.pipeline import simulate_frames_jit
+
+        t_start = time.perf_counter()
+        scene_arrays = radar._scene_arrays
+        key = jax.random.PRNGKey(args.seed)
+        done = 0
+        B = args.batch
+        pad_stamps = np.concatenate(
+            [stamps, np.repeat(stamps[-1:], (-len(stamps)) % B)])
+        for base in range(0, len(pad_stamps), B):
+            batch_stamps = pad_stamps[base:base + B]
+            if traj is not None:
+                poses = traj.poses_at(batch_stamps)
+            else:
+                poses = np_.tile(identity_pose(), (B, 1))
+            key, sub = jax.random.split(key)
+            res = simulate_frames_jit(
+                scene_arrays, radar.params, radar.cfg, poses,
+                jax.random.split(sub, B))
+            imgs = np_.asarray(res.image_u8)
+            for j in range(B):
+                if done >= len(stamps):
+                    break
+                save_frame(out / f"frame_{done:05d}.{fmt}", imgs[j])
+                done += 1
+        total = time.perf_counter() - t_start
+        n = max(len(stamps), 1)
+        print(f"{n} frames (batched x{B}) in {total:.2f} s -> {n / total:.2f} Hz")
+        return 0
+
     t_start = time.perf_counter()
     for i, stamp in enumerate(stamps):
         if traj is not None:
@@ -201,6 +237,9 @@ def build_parser() -> argparse.ArgumentParser:
     sim = sub.add_parser("simulate", help="render radar frames")
     _common(sim)
     sim.add_argument("--frames", type=int, default=1)
+    sim.add_argument("--batch", type=int, default=1,
+                     help="render frames in jitted batches of this size "
+                          "(throughput mode; incompatible with include_motion)")
     sim.add_argument("--rate", type=float, default=4.0,
                      help="free-running frame rate [Hz] (stamp spacing)")
     sim.add_argument("--synced", action="store_true",

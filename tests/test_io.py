@@ -286,3 +286,46 @@ def test_mesh_export_roundtrip(tmp_path):
     # OBJ keeps per-object ids; PLY keeps them via the object_id face property
     s_obj = load_mesh(tmp_path / "x.obj")
     assert s_obj.n_objects == 2
+
+
+def test_cli_simulate_batched(tiny_mesh_file, tmp_path):
+    from radarays_ros_tpu.io.cli import main
+    from radarays_ros_tpu.io.config import save_preset
+    from radarays_ros_tpu.sim.config import RadarModelConfig
+
+    preset = tmp_path / "preset.yaml"
+    save_preset(preset, RadarModelConfig(
+        n_angles=16, n_cells=64, n_samples=2, n_reflections=1,
+        resolution=0.25, ambient_noise=0, signal_denoising=0),
+        beam_width_deg=2.0)
+    out = tmp_path / "frames"
+    rc = main(["simulate", "--mesh", str(tiny_mesh_file), "--chunk-size", "8",
+               "--preset", str(preset), "--frames", "3", "--batch", "2",
+               "--out", str(out), "--format", "npy"])
+    assert rc == 0
+    files = sorted(out.glob("frame_*.npy"))
+    assert len(files) == 3
+    img = np.load(files[2])
+    assert img.shape == (64, 16)
+
+
+def test_cli_simulate_synced_trajectory(tiny_mesh_file, tmp_path):
+    from radarays_ros_tpu.io.cli import main
+    from radarays_ros_tpu.io.config import save_preset
+    from radarays_ros_tpu.io.trajectory import Trajectory
+    from radarays_ros_tpu.sim.config import RadarModelConfig
+
+    tr = Trajectory.circular(radius=2.0, n=4, period=2.0)
+    tr.save_tum(tmp_path / "traj.txt")
+    preset = tmp_path / "preset.yaml"
+    save_preset(preset, RadarModelConfig(
+        n_angles=16, n_cells=64, n_samples=2, n_reflections=1,
+        resolution=0.25, ambient_noise=0, signal_denoising=0),
+        beam_width_deg=2.0)
+    out = tmp_path / "sync_frames"
+    rc = main(["simulate", "--mesh", str(tiny_mesh_file), "--chunk-size", "8",
+               "--preset", str(preset), "--traj", str(tmp_path / "traj.txt"),
+               "--synced", "--frames", "2", "--out", str(out),
+               "--format", "npy"])
+    assert rc == 0
+    assert len(list(out.glob("frame_*.npy"))) == 2

@@ -199,3 +199,33 @@ def test_simulate_frames_batched_matches_loop(box_scene, simple_materials):
         np.testing.assert_allclose(np.asarray(batched.image_float[i]),
                                    np.asarray(single.image_float),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_include_motion_per_azimuth_poses(box_scene, simple_materials):
+    """(n_angles, 7) poses (include_motion) must differ from a static pose."""
+    import jax
+
+    from radarays_ros_tpu.sim.config import RadarModelConfig, RadarParams
+    from radarays_ros_tpu.sim.pipeline import simulate_frame
+    from radarays_ros_tpu.utils.transforms import identity_pose, interpolate_poses, make_pose
+
+    cfg = RadarModelConfig(n_angles=16, n_cells=64, n_samples=2,
+                           n_reflections=1, resolution=0.5,
+                           signal_denoising=0, ambient_noise=0)
+    params = RadarParams.make(simple_materials, [1, 2], beam_width_deg=2.0)
+    scene = box_scene.device_arrays()
+    key = jax.random.PRNGKey(0)
+
+    pose_a = identity_pose()
+    pose_b = make_pose([4.0, 2.0, 0.0])
+    alphas = jnp.linspace(0.0, 1.0, cfg.n_angles)
+    poses = interpolate_poses(pose_a, pose_b, alphas)
+
+    static = simulate_frame(scene, params, cfg, pose_a, key)
+    moving = simulate_frame(scene, params, cfg, poses, key)
+    assert moving.image_u8.shape == static.image_u8.shape
+    # first azimuth matches the static start pose; later ones diverge
+    np.testing.assert_array_equal(np.asarray(moving.image_u8[:, 0]),
+                                  np.asarray(static.image_u8[:, 0]))
+    assert not np.array_equal(np.asarray(moving.image_u8),
+                              np.asarray(static.image_u8))
