@@ -58,6 +58,7 @@ def build_benchmark():
         ambient_noise_energy_min=0.05,
         record_multi_reflection=True,
         record_multi_path=False,
+        opaque_materials=True,  # wall-stone velocity 0: refraction provably dead
         trace_engine="pallas",
         trace_ray_block=2048,
         draw_method="pallas",
@@ -111,7 +112,10 @@ def main():
 
     n_frames = n_iters * B
     fps = n_frames / dt
-    rays_per_frame = cfg.n_angles * cfg.n_samples * (2 ** cfg.n_reflections - 1)
+    if cfg.opaque_materials:
+        rays_per_frame = cfg.n_angles * cfg.n_samples * cfg.n_reflections
+    else:
+        rays_per_frame = cfg.n_angles * cfg.n_samples * (2 ** cfg.n_reflections - 1)
     mrays = fps * rays_per_frame / 1e6
 
     print(json.dumps({

@@ -145,6 +145,8 @@ class RadarModelConfig:
     wave_energy_threshold: float = 0.001           # Radar.cpp:24
     skip_dist: float = 0.001                       # RadarCPU.cpp:374
     reflection_model: str = "blinn_phong"          # or "cook_torrance" (dev/flex)
+    opaque_materials: bool = False                 # all velocities 0: drop the
+    #   (provably dead) refraction branch, halving wave growth per bounce
     draw_method: str = "scatter"                   # scatter | sort (image/draw.py)
     trace_engine: str = "mxu"                      # brute | mxu | culled | pallas
     trace_ray_block: int = 2048

@@ -124,16 +124,24 @@ def _bounce(cfg: RadarModelConfig, params: RadarParams, scene: SceneArrays,
         valid=refl_valid,
     ).move(cfg.skip_dist)
 
-    # --- refraction child (enters the refraction medium)
-    refr_dir_ok = jnp.sum(fres.refraction_dir * fres.refraction_dir, axis=-1) > 0.25
-    refr_valid = alive & (fres.refraction_energy > thresh) & refr_dir_ok
-    refraction = incidence._replace(
-        dir=fres.refraction_dir,
-        energy=fres.refraction_energy,
-        velocity=jnp.where(refr_valid, v2, incidence.velocity),
-        material_id=jnp.where(refr_valid, refr_mat, incidence.material_id),
-        valid=refr_valid,
-    ).move(cfg.skip_dist)
+    # --- refraction child (enters the refraction medium). When every
+    # non-air material is opaque (velocity 0 — e.g. the tuned MulRan preset,
+    # cfg/mulran_kaist_dyncfg.yaml), Fresnel gives Teff = 0 and the
+    # refraction branch is all-dead; cfg.opaque_materials skips carrying it,
+    # halving the wave tensor per bounce — the static-shape equivalent of
+    # the reference CPU engine's dynamic energy pruning
+    # (RadarCPU.cpp:364-370).
+    if not cfg.opaque_materials:
+        refr_dir_ok = jnp.sum(
+            fres.refraction_dir * fres.refraction_dir, axis=-1) > 0.25
+        refr_valid = alive & (fres.refraction_energy > thresh) & refr_dir_ok
+        refraction = incidence._replace(
+            dir=fres.refraction_dir,
+            energy=fres.refraction_energy,
+            velocity=jnp.where(refr_valid, v2, incidence.velocity),
+            material_id=jnp.where(refr_valid, refr_mat, incidence.material_id),
+            valid=refr_valid,
+        ).move(cfg.skip_dist)
 
     # --- path-return signal (RadarCPU.cpp:302-323): only waves in air, only
     # recorded on pass 0 unless record_multi_reflection.
@@ -161,9 +169,12 @@ def _bounce(cfg: RadarModelConfig, params: RadarParams, scene: SceneArrays,
         air_valid = sig_gate & (view_scalar > cfg.multipath_threshold)
         signals.append((incidence.time + time_to_sensor, air_energy, air_valid))
 
-    next_waves = jax.tree_util.tree_map(
-        lambda a, b: jnp.concatenate([a, b], axis=1), reflection, refraction
-    )
+    if cfg.opaque_materials:
+        next_waves = reflection
+    else:
+        next_waves = jax.tree_util.tree_map(
+            lambda a, b: jnp.concatenate([a, b], axis=1), reflection, refraction
+        )
     return next_waves, signals
 
 

@@ -56,6 +56,7 @@ class Radar:
             cfg = cfg or default_cfg
         self.params = params
         self.cfg = cfg or RadarModelConfig()
+        self._auto_opaque()
         key = jax.random.PRNGKey(seed)
         self._cone_key, self._noise_key = jax.random.split(key)
         self._last_pose = identity_pose()
@@ -77,6 +78,7 @@ class Radar:
         self.params = params
         if resample:
             self.resample()
+        self._auto_opaque()
 
     def resample(self) -> None:
         """Draw a fresh cone-sampling key (m_resample = true)."""
@@ -88,6 +90,22 @@ class Radar:
             materials=Materials.from_list(entries),
             object_materials=np.asarray(object_materials, np.int32),
         )
+        self._auto_opaque()
+
+    def _auto_opaque(self) -> None:
+        """Enable the refraction-free fast path when it is provably exact:
+        every non-air material has wave velocity 0, so Fresnel transmits
+        nothing (Teff = 0) and the refraction branch is all-dead. Halves the
+        wave tensor per bounce (the static-shape analog of the reference CPU
+        engine's energy pruning, RadarCPU.cpp:364-370)."""
+        vel = np.asarray(self.params.materials.velocity)
+        mask = np.ones(vel.shape[0], bool)
+        air = self.cfg.material_id_air
+        if 0 <= air < vel.shape[0]:
+            mask[air] = False
+        opaque = bool(np.all(vel[mask] == 0.0)) if mask.any() else False
+        if opaque != self.cfg.opaque_materials:
+            self.cfg = self.cfg.replace(opaque_materials=opaque)
 
     # ------------------------------------------------------------ simulate
 

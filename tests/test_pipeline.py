@@ -229,3 +229,37 @@ def test_include_motion_per_azimuth_poses(box_scene, simple_materials):
                                   np.asarray(static.image_u8[:, 0]))
     assert not np.array_equal(np.asarray(moving.image_u8),
                               np.asarray(static.image_u8))
+
+
+def test_opaque_materials_mode_matches_full(box_scene):
+    """With all object velocities 0, dropping the refraction branch must be
+    exactly equivalent (Fresnel gives Teff = 0)."""
+    import jax
+
+    from radarays_ros_tpu.sim.config import Materials, RadarModelConfig, RadarParams
+    from radarays_ros_tpu.sim.pipeline import simulate_frame
+    from radarays_ros_tpu.utils.transforms import identity_pose
+
+    mats = Materials.from_list([
+        dict(velocity=0.3, ambient=1.0, diffuse=0.0, specular=1.0),
+        dict(velocity=0.0, ambient=1.0, diffuse=0.0, specular=3000.0),
+        dict(velocity=0.0, ambient=1.0, diffuse=0.2, specular=100.0),
+    ])
+    params = RadarParams.make(mats, [1, 2], beam_width_deg=4.0)
+    scene = box_scene.device_arrays()
+    key = jax.random.PRNGKey(2)
+    base = dict(n_angles=16, n_cells=96, n_samples=4, n_reflections=3,
+                resolution=0.5, signal_denoising=1,
+                signal_denoising_triangular_width=5,
+                signal_denoising_triangular_mode=0.4, ambient_noise=0,
+                record_multi_reflection=True)
+    full = simulate_frame(scene, params, RadarModelConfig(**base),
+                          identity_pose(), key)
+    slim = simulate_frame(scene, params,
+                          RadarModelConfig(**base, opaque_materials=True),
+                          identity_pose(), key)
+    np.testing.assert_allclose(np.asarray(full.image_float),
+                               np.asarray(slim.image_float),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(full.image_u8),
+                                  np.asarray(slim.image_u8))
