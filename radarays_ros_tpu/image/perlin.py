@@ -211,8 +211,6 @@ def perlin_affine_rows(x0_int, y, scale: float, n_cells: int):
     """
     x0_int = jnp.asarray(x0_int, jnp.int32)            # (A,)
     y = jnp.asarray(y, jnp.float32)                    # (A,)
-    A = x0_int.shape[0]
-    perm = jnp.asarray(PERM)
 
     # shared per-cell lattice data — computed on device (embedding the
     # (K, n_cells) selection as a literal would bloat the HLO by megabytes

@@ -15,7 +15,9 @@ Engines:
   * "culled" — chunk-AABB culled variant of "mxu" (trace/planes.py): only the
                top-K Morton chunks whose AABB a ray block can hit are tested.
   * "pallas" — Pallas kernel with per-block chunk skipping
-               (trace/pallas_trace.py).
+               (trace/pallas_trace.py); the default production engine.
+  * "pallas2" — experimental Pallas variant with the chunk sweep inside the
+               kernel and scene planes VMEM-resident (trace/pallas_trace.py).
 
 All engines consume the same SceneArrays and return identical TraceResult
 structures; parity is asserted in tests/test_trace.py.
