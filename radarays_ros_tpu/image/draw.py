@@ -193,7 +193,8 @@ def apply_ambient_noise(img, max_val, cols, key, *, mode: int, resolution,
     amp = max_val[:, None]
     safe_amp = jnp.where(amp > 0.0, amp, 1.0)
     signal_frac = 1.0 - img / safe_amp
-    signal_4 = jnp.power(signal_frac, 4.0)
+    sf2 = signal_frac * signal_frac
+    signal_4 = sf2 * sf2  # pow(x, 4.0) is a transcendental on TPU
     noise_amp = signal_4 * (amp * at_signal_0) + (1.0 - signal_4) * (amp * at_signal_1)
 
     x = (i + 0.5) * resolution

@@ -182,6 +182,13 @@ def _fused_hash_tables():
 
 _HASH_G, _HASH_G2 = _fused_hash_tables()
 
+# (256_y, 256_x, 4) channel-stacked hash tables [G, G2, G(x+1), G2(x+1)],
+# y-major so the per-row selection Gsel = GG[Y] is a contiguous row gather
+_HASH_STACK = np.stack([
+    _HASH_G, _HASH_G2,
+    np.roll(_HASH_G, -1, axis=0), np.roll(_HASH_G2, -1, axis=0),
+], axis=-1).transpose(1, 0, 2).astype(np.float32)  # -> (y, x, 4)
+
 
 def _alpha_beta(h):
     """Arithmetic gradient coefficients (no 16-entry table gather):
@@ -230,17 +237,22 @@ def perlin_affine_rows(x0_int, y, scale: float, n_cells: int):
     yf = y - fy
     v = _fade(yf)
 
-    # corner hashes on the (A, K+1) lattice via the fused (256, 256) tables:
-    # flat index x*256 + y, 4 gathers total (vs 10 chained perm gathers)
-    g_flat = jnp.asarray(_HASH_G.reshape(-1))
-    g2_flat = jnp.asarray(_HASH_G2.reshape(-1))
+    # corner hashes on the (A, K+1) lattice WITHOUT per-element gathers:
+    # TPU arbitrary gathers are slow, so (1) select each row's y-slice of the
+    # channel-stacked hash tables with a contiguous row gather, then
+    # (2) resolve the x lookups as a one-hot contraction (exact: all values
+    # are small integers). One einsum yields all four corner hashes.
     Xk = (x0_int[:, None] + jnp.arange(K + 1, dtype=jnp.int32)[None, :]) & 255
-    Xk1 = (Xk + 1) & 255
-    yi = Y[:, None]
-    hAA = g_flat[Xk * 256 + yi]
-    hAB = g2_flat[Xk * 256 + yi]
-    hBA = g_flat[Xk1 * 256 + yi]
-    hBB = g2_flat[Xk1 * 256 + yi]
+    # bf16 operands are exact here (one-hot 0/1 and table values <= 15) and
+    # halve the HBM traffic of the materialized one-hot
+    gsel = jnp.asarray(_HASH_STACK).astype(jnp.bfloat16)[Y]    # (A, 256, 4)
+    onehot = (Xk[:, :, None]
+              == jnp.arange(256, dtype=jnp.int32)[None, None, :]
+              ).astype(jnp.bfloat16)                   # (A, K+1, 256)
+    hashes = jnp.einsum("akx,axc->akc", onehot, gsel,
+                        preferred_element_type=jnp.float32).astype(jnp.int32)
+    hAA, hAB, hBA, hBB = (hashes[..., 0], hashes[..., 1],
+                          hashes[..., 2], hashes[..., 3])
 
     aAA, bAA = _alpha_beta(hAA)
     aAB, bAB = _alpha_beta(hAB)
