@@ -23,10 +23,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def median_time(fn, n=5):
+    """fn(i) MUST fetch data (host round-trip) — through the remote TPU
+    relay, block_until_ready() does not reliably fence execution and
+    dispatch-only loops over-report by >10x (see CLAUDE.md)."""
     ts = []
-    for _ in range(n):
+    for i in range(n):
         t0 = time.perf_counter()
-        fn()
+        fn(i)
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts))
 
@@ -71,19 +74,21 @@ def main():
         kw = {"ray_block": 2048} if engine != "pallas" else {"ray_block": 2048}
 
         @jax.jit
-        def run(o_j=o_j, d_j=d_j, engine=engine, kw=kw):
-            return trace(sa, o_j, d_j, engine=engine, **kw)
+        def run(dd, engine=engine, kw=kw):
+            r = trace(sa, o_j, dd, engine=engine, **kw)
+            return jnp.sum(r.hit), jnp.mean(r.hit.astype(jnp.float32))
 
         try:
-            res = run()
-            jax.block_until_ready(res.t)
-            dt = median_time(lambda: jax.block_until_ready(run().t))
+            _, hit_rate = run(d_j)
+            hit_rate = float(hit_rate)
+            dt = median_time(
+                lambda i: int(run(d_j * (1.0 + 1e-6 * (i + 1)))[0]))
             mrays = args.rays / dt / 1e6
             results[engine] = mrays
             print(json.dumps({"bench": "trace", "engine": engine,
                               "mrays_per_sec": round(mrays, 2),
                               "ms": round(dt * 1e3, 3),
-                              "hit_rate": round(float(jnp.mean(res.hit)), 4)}))
+                              "hit_rate": round(hit_rate, 4)}))
         except Exception as e:  # noqa: BLE001 - report and continue
             print(json.dumps({"bench": "trace", "engine": engine,
                               "error": str(e)[:200]}))
@@ -112,10 +117,15 @@ def main():
             record_multi_reflection=True, trace_engine=engine,
             trace_ray_block=2048)
         try:
-            res = simulate_frame_jit(sa, params, cfg, pose, key)
-            jax.block_until_ready(res.image_u8)
-            dt = median_time(lambda: jax.block_until_ready(
-                simulate_frame_jit(sa, params, cfg, pose, key).image_u8),
+            @jax.jit
+            def frame_sum(k):
+                return jnp.sum(
+                    simulate_frame_jit(sa, params, cfg, pose, k
+                                       ).image_u8.astype(jnp.int32))
+
+            int(frame_sum(key))
+            dt = median_time(
+                lambda i: int(frame_sum(jax.random.fold_in(key, i + 1))),
                 n=args.frames)
             frame[engine] = 1.0 / dt
             print(json.dumps({"bench": "frame", "engine": engine,
