@@ -199,6 +199,82 @@ def cmd_info(args) -> int:
     return 0
 
 
+def cmd_optimize(args) -> int:
+    """Material-property fitting — the radaray_opti.py workflow as a CLI.
+
+    Loads a target polar frame, then minimizes -PSNR(sim, target) over the
+    selected material slots, by gradient descent through the differentiable
+    simulator (default) or by the derivative-free fallback. Checkpoints are
+    resumable; the result can be written back as a reference-format scene
+    YAML."""
+    import jax
+    import jax.numpy as jnp
+
+    from radarays_ros_tpu.io.config import save_scene_config
+    from radarays_ros_tpu.io.image_io import read_png_gray
+    from radarays_ros_tpu.io.trajectory import Trajectory
+    from radarays_ros_tpu.opti.checkpoint import load_checkpoint, save_checkpoint
+    from radarays_ros_tpu.opti.metrics import psnr
+    from radarays_ros_tpu.opti.optimize import (
+        ParamVector, optimize_black_box, optimize_gradient)
+    from radarays_ros_tpu.sim.pipeline import simulate_frame
+    from radarays_ros_tpu.utils.transforms import identity_pose, make_pose
+
+    scene = _load_scene(args)
+    cfg, params = _load_cfg_params(args, scene)
+    target_path = Path(args.target)
+    target = (np.load(target_path) if target_path.suffix == ".npy"
+              else read_png_gray(target_path))
+    if target.shape != (cfg.n_cells, cfg.n_angles):
+        print(f"target shape {target.shape} != frame "
+              f"({cfg.n_cells}, {cfg.n_angles})", file=sys.stderr)
+        return 2
+    target_f = jnp.asarray(target, jnp.float32)   # (n_cells, A), as image_u8
+
+    if args.checkpoint and Path(args.checkpoint).exists():
+        params, extras = load_checkpoint(args.checkpoint)
+        print(f"resumed checkpoint at step {extras['step']}")
+
+    pose = (make_pose([float(v) for v in args.pose.split(",")])
+            if args.pose else identity_pose())
+    if args.traj:
+        pose = Trajectory.load_tum(args.traj).pose_at(0.0)
+    scene_arrays = scene.device_arrays()
+    key = jax.random.PRNGKey(args.seed)
+    slots = tuple(int(s) for s in args.slots.split(","))
+    pv = ParamVector(material_slots=slots, tune_n_reflections=False,
+                     tune_beam_width=False)
+
+    def loss_of_params(p):
+        res = simulate_frame(scene_arrays, p, cfg, pose, key)
+        return -psnr(res.image_u8.astype(jnp.float32), target_f)
+
+    if args.method == "gradient":
+        res = optimize_gradient(loss_of_params, params, pv,
+                                steps=args.steps, lr=args.lr, verbose=True)
+        vec, value, history = res.vec, res.value, res.history
+        fitted = res.params
+    else:
+        f = jax.jit(lambda v: loss_of_params(pv.to_params(params, v)[0]))
+        vec, value, history = optimize_black_box(
+            lambda v: float(f(jnp.asarray(v, jnp.float32))), pv.bounds(),
+            n_seeds=max(args.steps // 4, 4), iters=args.steps,
+            seed=args.seed, x0=pv.to_vec(params))
+        fitted, _ = pv.to_params(params, vec)
+
+    print(f"final PSNR {-value:.3f} dB over {len(history)} evaluations")
+    if args.checkpoint:
+        save_checkpoint(args.checkpoint, fitted, vec=vec, history=history,
+                        step=len(history))
+        print(f"checkpoint -> {args.checkpoint}")
+    if args.out_config:
+        save_scene_config(args.out_config, fitted.materials,
+                          np.asarray(fitted.object_materials),
+                          material_id_air=cfg.material_id_air)
+        print(f"fitted materials -> {args.out_config}")
+    return 0
+
+
 def cmd_eval(args) -> int:
     # host-side analysis: run the tiny metric kernels on CPU rather than
     # claiming (and possibly remote-compiling on) an accelerator
@@ -267,6 +343,24 @@ def build_parser() -> argparse.ArgumentParser:
     info = sub.add_parser("info", help="mesh/scene statistics")
     _common(info)
     info.set_defaults(fn=cmd_info)
+
+    opt = sub.add_parser("optimize",
+                         help="fit material properties to a target frame")
+    _common(opt)
+    opt.add_argument("--target", required=True,
+                     help="target polar frame (.png/.npy), e.g. a real scan")
+    opt.add_argument("--slots", default="1",
+                     help="comma list of material slots to tune (ref: 1,3)")
+    opt.add_argument("--steps", type=int, default=60)
+    opt.add_argument("--lr", type=float, default=5e-2)
+    opt.add_argument("--method", choices=["gradient", "black-box"],
+                     default="gradient")
+    opt.add_argument("--pose", default=None,
+                     help="sensor pose 'tx,ty,tz' (default origin)")
+    opt.add_argument("--checkpoint", help="write/resume optimizer state here")
+    opt.add_argument("--out-config",
+                     help="write the fitted materials as a scene YAML")
+    opt.set_defaults(fn=cmd_optimize)
 
     ev = sub.add_parser("eval", help="compare real vs simulated frame dirs")
     ev.add_argument("--real", required=True, help="directory of real frames")

@@ -329,3 +329,52 @@ def test_cli_simulate_synced_trajectory(tiny_mesh_file, tmp_path):
                "--format", "npy"])
     assert rc == 0
     assert len(list(out.glob("frame_*.npy"))) == 2
+
+
+def test_cli_optimize_roundtrip(tiny_mesh_file, tmp_path):
+    """cli optimize: render a target with known materials, perturb, refit."""
+    from radarays_ros_tpu.io.cli import main
+    from radarays_ros_tpu.io.config import load_scene_config, save_preset, save_scene_config
+    from radarays_ros_tpu.sim.config import Materials, RadarModelConfig
+
+    preset = tmp_path / "preset.yaml"
+    save_preset(preset, RadarModelConfig(
+        n_angles=16, n_cells=64, n_samples=3, n_reflections=1,
+        resolution=0.25, ambient_noise=0, signal_denoising=0),
+        beam_width_deg=2.0)
+
+    true_mats = Materials.from_list([
+        dict(velocity=0.3, ambient=1.0, diffuse=0.0, specular=1.0),
+        dict(velocity=0.0, ambient=0.9, diffuse=0.1, specular=200.0),
+    ])
+    true_cfg_path = tmp_path / "true.yaml"
+    save_scene_config(true_cfg_path, true_mats, [1, 1], material_id_air=0)
+
+    # target frame rendered with the true materials
+    target_dir = tmp_path / "t"
+    rc = main(["simulate", "--mesh", str(tiny_mesh_file), "--chunk-size", "8",
+               "--preset", str(preset), "--scene-config", str(true_cfg_path),
+               "--frames", "1", "--out", str(target_dir), "--format", "npy"])
+    assert rc == 0
+    target = target_dir / "frame_00000.npy"
+
+    # start from perturbed materials; fit slot 1 back
+    wrong_mats = Materials.from_list([
+        dict(velocity=0.3, ambient=1.0, diffuse=0.0, specular=1.0),
+        dict(velocity=0.0, ambient=0.3, diffuse=0.5, specular=50.0),
+    ])
+    wrong_cfg_path = tmp_path / "wrong.yaml"
+    save_scene_config(wrong_cfg_path, wrong_mats, [1, 1], material_id_air=0)
+
+    ck = tmp_path / "opt.npz"
+    fitted_path = tmp_path / "fitted.yaml"
+    rc = main(["optimize", "--mesh", str(tiny_mesh_file), "--chunk-size", "8",
+               "--preset", str(preset), "--scene-config", str(wrong_cfg_path),
+               "--target", str(target), "--slots", "1", "--steps", "25",
+               "--lr", "0.1", "--checkpoint", str(ck),
+               "--out-config", str(fitted_path)])
+    assert rc == 0
+    assert ck.exists()
+    fitted = load_scene_config(fitted_path)
+    # ambient moved from 0.3 toward the true 0.9
+    assert abs(float(fitted.materials.ambient[1]) - 0.9) < abs(0.3 - 0.9)
