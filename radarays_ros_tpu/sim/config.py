@@ -150,6 +150,7 @@ class RadarModelConfig:
     draw_method: str = "scatter"                   # scatter | sort (image/draw.py)
     trace_engine: str = "mxu"                      # brute | mxu | culled | pallas
     trace_ray_block: int = 2048
+    trace_group: int = 1                           # pallas: chunks per grid cell
     trace_tri_chunk: int = 2048
     trace_k_chunks: Optional[int] = None
 

@@ -94,6 +94,7 @@ def _bounce(cfg: RadarModelConfig, params: RadarParams, scene: SceneArrays,
         t_max=1000.0,
         ray_block=cfg.trace_ray_block,
         **({"tri_chunk": cfg.trace_tri_chunk} if cfg.trace_engine == "mxu" else {}),
+        **({"group": cfg.trace_group} if cfg.trace_engine == "pallas" else {}),
         **({"k_chunks": cfg.trace_k_chunks} if cfg.trace_engine in ("culled", "pallas") else {}),
     )
 

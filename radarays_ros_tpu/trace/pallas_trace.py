@@ -42,7 +42,7 @@ _BIG_IDX = 2**30  # python literal: jnp constants would be captured by the kerne
 
 
 def _trace_kernel(mask_ref, o_ref, d_ref, po_ref, pd_ref,
-                  best_t_ref, best_idx_ref, *, tc: int,
+                  best_t_ref, best_idx_ref, *, tc: int, group: int,
                   t_min: float, t_max: float):
     """One (ray block, triangle chunk) cell of the trace grid.
 
@@ -61,42 +61,62 @@ def _trace_kernel(mask_ref, o_ref, d_ref, po_ref, pd_ref,
         best_t_ref[:] = jnp.full(best_t_ref.shape, jnp.inf, jnp.float32)
         best_idx_ref[:] = jnp.zeros(best_idx_ref.shape, jnp.int32)
 
-    @pl.when(mask_ref[i, j] != 0)
-    def _compute():
-        so = jnp.dot(po_ref[0], o_ref[0], preferred_element_type=jnp.float32)
-        sd = jnp.dot(pd_ref[0], d_ref[0], preferred_element_type=jnp.float32)
-        # plane group g occupies sublanes [g*Tc, (g+1)*Tc)
-        so_s, sd_s = so[0:tc], sd[0:tc]
-        denom_ok = jnp.abs(sd_s) > _DIR_EPS
-        t = -so_s / jnp.where(denom_ok, sd_s, 1.0)
-        inside = (
-            (so[tc:2 * tc] + t * sd[tc:2 * tc] >= -_INSIDE_EPS)
-            & (so[2 * tc:3 * tc] + t * sd[2 * tc:3 * tc] >= -_INSIDE_EPS)
-            & (so[3 * tc:4 * tc] + t * sd[3 * tc:4 * tc] >= -_INSIDE_EPS)
-        )
-        hit = denom_ok & inside & (t >= t_min) & (t <= t_max)
-        t_masked = jnp.where(hit, t, jnp.inf)                 # (Tc, RB)
+    # this grid cell covers chunks [j*group, (j+1)*group); per-chunk skip
+    # stays fine-grained while Mosaic grid overhead is amortized `group`-fold
+    for g in range(group):
+        @pl.when(mask_ref[i, j * group + g] != 0)
+        def _compute(g=g):
+            po = po_ref[0, g * 4 * tc:(g + 1) * 4 * tc, :]
+            pd = pd_ref[0, g * 4 * tc:(g + 1) * 4 * tc, :]
+            so = jnp.dot(po, o_ref[0], preferred_element_type=jnp.float32)
+            sd = jnp.dot(pd, d_ref[0], preferred_element_type=jnp.float32)
+            # plane row group occupies sublanes [k*Tc, (k+1)*Tc)
+            so_s, sd_s = so[0:tc], sd[0:tc]
+            denom_ok = jnp.abs(sd_s) > _DIR_EPS
+            t = -so_s / jnp.where(denom_ok, sd_s, 1.0)
+            inside = (
+                (so[tc:2 * tc] + t * sd[tc:2 * tc] >= -_INSIDE_EPS)
+                & (so[2 * tc:3 * tc] + t * sd[2 * tc:3 * tc] >= -_INSIDE_EPS)
+                & (so[3 * tc:4 * tc] + t * sd[3 * tc:4 * tc] >= -_INSIDE_EPS)
+            )
+            hit = denom_ok & inside & (t >= t_min) & (t <= t_max)
+            t_masked = jnp.where(hit, t, jnp.inf)             # (Tc, RB)
 
-        local_t = jnp.min(t_masked, axis=0, keepdims=True)    # (1, RB)
-        rows = jax.lax.broadcasted_iota(jnp.int32, t_masked.shape, 0)
-        local_i = jnp.min(
-            jnp.where(t_masked == local_t, rows, _BIG_IDX), axis=0, keepdims=True
-        )
-        better = local_t[None] < best_t_ref[:]
-        best_t_ref[:] = jnp.where(better, local_t[None], best_t_ref[:])
-        best_idx_ref[:] = jnp.where(better, (j * tc + local_i)[None],
-                                    best_idx_ref[:])
+            local_t = jnp.min(t_masked, axis=0, keepdims=True)  # (1, RB)
+            rows = jax.lax.broadcasted_iota(jnp.int32, t_masked.shape, 0)
+            local_i = jnp.min(
+                jnp.where(t_masked == local_t, rows, _BIG_IDX),
+                axis=0, keepdims=True)
+            better = local_t[None] < best_t_ref[:]
+            best_t_ref[:] = jnp.where(better, local_t[None], best_t_ref[:])
+            best_idx_ref[:] = jnp.where(
+                better, ((j * group + g) * tc + local_i)[None],
+                best_idx_ref[:])
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("chunk_size", "ray_block", "t_min", "t_max", "interpret"),
+    static_argnames=("chunk_size", "ray_block", "group", "t_min", "t_max",
+                     "interpret"),
 )
 def _trace_pallas_impl(planes_o, planes_d, chunk_lo, chunk_hi, origs, dirs, *,
-                       chunk_size: int, ray_block: int, t_min: float,
-                       t_max: float, interpret: bool):
+                       chunk_size: int, ray_block: int, group: int,
+                       t_min: float, t_max: float, interpret: bool):
     tc = chunk_size
     C = planes_o.shape[0] // (4 * tc)
+    # pad the chunk axis to a multiple of `group` with never-hit chunks
+    pad_c = (-C) % group
+    if pad_c:
+        planes_o = jnp.concatenate(
+            [planes_o, jnp.zeros((pad_c * 4 * tc, 4), jnp.float32)], axis=0)
+        planes_d = jnp.concatenate(
+            [planes_d, jnp.zeros((pad_c * 4 * tc, 4) if planes_d.shape[1] == 4
+                                 else (pad_c * 4 * tc, 3), jnp.float32)],
+            axis=0)
+        far = jnp.full((pad_c, 3), 1e9, jnp.float32)
+        chunk_lo = jnp.concatenate([chunk_lo, far], axis=0)
+        chunk_hi = jnp.concatenate([chunk_hi, far], axis=0)
+        C += pad_c
     R = origs.shape[0]
     RB = ray_block
     pad = (-R) % RB
@@ -113,11 +133,12 @@ def _trace_pallas_impl(planes_o, planes_d, chunk_lo, chunk_hi, origs, dirs, *,
     d_aug = d_aug.transpose(0, 2, 1)
 
     # grouped plane layout: (C, 4*Tc, 4) rows [support | e0 | e1 | e2]
-    po = planes_o.reshape(C, tc, 4, 4).transpose(0, 2, 1, 3).reshape(C, 4 * tc, 4)
+    po = planes_o.reshape(C, tc, 4, 4).transpose(0, 2, 1, 3).reshape(
+        C // group, group * 4 * tc, 4)
     pd_rows = planes_d.reshape(C, tc, 4, 3).transpose(0, 2, 1, 3)
     pd = jnp.concatenate(
         [pd_rows, jnp.zeros((C, 4, tc, 1), jnp.float32)], axis=-1
-    ).reshape(C, 4 * tc, 4)
+    ).reshape(C // group, group * 4 * tc, 4)
 
     # conservative chunk-skip mask: slab test per ray block (XLA, cheap)
     inv_d = 1.0 / jnp.where(jnp.abs(d) > _DIR_EPS, d,
@@ -126,20 +147,21 @@ def _trace_pallas_impl(planes_o, planes_d, chunk_lo, chunk_hi, origs, dirs, *,
     mask = overlap.reshape(n_blocks, RB, C).any(axis=1).astype(jnp.int32)
 
     kernel = functools.partial(
-        _trace_kernel, tc=tc, t_min=float(t_min), t_max=float(t_max))
+        _trace_kernel, tc=tc, group=group,
+        t_min=float(t_min), t_max=float(t_max))
 
     best_t, best_idx = pl.pallas_call(
         kernel,
-        grid=(n_blocks, C),
+        grid=(n_blocks, C // group),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # full (B, C) skip mask
             pl.BlockSpec((1, 4, RB), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 4, RB), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4 * tc, 4), lambda i, j: (j, 0, 0),
+            pl.BlockSpec((1, group * 4 * tc, 4), lambda i, j: (j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4 * tc, 4), lambda i, j: (j, 0, 0),
+            pl.BlockSpec((1, group * 4 * tc, 4), lambda i, j: (j, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -159,8 +181,8 @@ def _trace_pallas_impl(planes_o, planes_d, chunk_lo, chunk_hi, origs, dirs, *,
 
 
 def trace_pallas(scene, origs, dirs, t_min: float = 0.0, t_max: float = 1000.0,
-                 ray_block: int = 512, interpret: bool | None = None,
-                 **_ignored):
+                 ray_block: int = 512, group: int = 4,
+                 interpret: bool | None = None, **_ignored):
     """Exact Pallas-kernel trace (see module docstring).
 
     ray_block must be a multiple of 128 (lane width); the scene's chunk_size
@@ -180,7 +202,7 @@ def trace_pallas(scene, origs, dirs, t_min: float = 0.0, t_max: float = 1000.0,
         jnp.asarray(scene.planes_o), jnp.asarray(scene.planes_d),
         jnp.asarray(scene.chunk_aabb_lo), jnp.asarray(scene.chunk_aabb_hi),
         jnp.asarray(origs), jnp.asarray(dirs),
-        chunk_size=chunk_size, ray_block=ray_block,
+        chunk_size=chunk_size, ray_block=ray_block, group=group,
         t_min=t_min, t_max=t_max, interpret=interpret,
     )
     return _finalize(scene, origs, dirs, best_idx, best_t)
