@@ -26,6 +26,11 @@ def load_mesh(path, chunk_size: int = 256) -> Scene:
     if ext == ".ply":
         return _load_ply(path, chunk_size)
     if ext == ".obj":
+        from radarays_ros_tpu.native import builder as native_builder
+
+        if native_builder.available():
+            verts, obj_ids, names = native_builder.parse_obj(path)
+            return Scene(verts, obj_ids, names or None, chunk_size)
         return _load_obj(path, chunk_size)
     if ext == ".stl":
         return _load_stl(path, chunk_size)

@@ -43,6 +43,13 @@ def _lib():
         lib.rr_chunk_aabbs.restype = None
         lib.rr_triangle_planes.argtypes = [fp, ctypes.c_int64, fp, fp, fp]
         lib.rr_triangle_planes.restype = None
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.rr_obj_count.argtypes = [ctypes.c_char_p, i64p, i64p, i64p]
+        lib.rr_obj_count.restype = ctypes.c_int
+        lib.rr_obj_parse.argtypes = [
+            ctypes.c_char_p, fp, ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_char_p]
+        lib.rr_obj_parse.restype = ctypes.c_int
         _LIB = lib
     except (OSError, AttributeError):
         _LIB = None
@@ -94,3 +101,26 @@ def triangle_planes(verts: np.ndarray):
     lib.rr_triangle_planes(_fp(verts), ctypes.c_int64(n), _fp(normals),
                            _fp(planes_o), _fp(planes_d))
     return normals, planes_o, planes_d
+
+
+def parse_obj(path):
+    """Native Wavefront OBJ parse -> (verts (T,3,3) f32, obj_ids (T,) i32,
+    names list[str]); raises on IO/parse errors."""
+    lib = _lib()
+    pathb = str(path).encode()
+    n_tris = ctypes.c_int64()
+    n_objects = ctypes.c_int64()
+    names_len = ctypes.c_int64()
+    if lib.rr_obj_count(pathb, ctypes.byref(n_tris), ctypes.byref(n_objects),
+                        ctypes.byref(names_len)) != 0:
+        raise IOError(f"cannot parse OBJ: {path}")
+    T = n_tris.value
+    verts = np.empty((T, 3, 3), np.float32)
+    obj_ids = np.empty(T, np.int32)
+    names_buf = ctypes.create_string_buffer(max(names_len.value, 1))
+    if lib.rr_obj_parse(pathb, _fp(verts),
+                        obj_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                        names_buf) != 0:
+        raise IOError(f"cannot parse OBJ: {path}")
+    names = names_buf.raw[:names_len.value].decode().split("\n")[:n_objects.value]
+    return verts, obj_ids, names

@@ -12,7 +12,9 @@
 
 #include <algorithm>
 #include <cmath>
+#include <array>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <numeric>
 #include <vector>
@@ -149,6 +151,142 @@ void rr_triangle_planes(const float* verts, int64_t n, float* normals_out,
       pdr[0] = m[0]; pdr[1] = m[1]; pdr[2] = m[2];
     }
   }
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------- OBJ parse
+//
+// Wavefront OBJ triangle loader (v/f/o/g statements; polygon faces are
+// fan-triangulated; negative indices resolved; usemtl/vn/vt ignored). The
+// Python fallback parses line-by-line (geom/mesh.py:_load_obj) which is the
+// data-loading bottleneck for large scenes; this is its native counterpart
+// (rmagine's role in radar_simulator.cpp:149).
+//
+// Two-call protocol:
+//   rr_obj_count(path, &n_tris, &n_objects, &names_len) -> 0 on success
+//   rr_obj_parse(path, verts_out[(T,3,3) f32], obj_ids_out[(T,) i32],
+//                names_out[names_len bytes, '\n'-joined]) -> 0 on success
+
+#include <cstdio>
+#include <string>
+
+namespace {
+
+struct ObjScan {
+  std::vector<std::array<float, 3>> verts;
+  std::vector<int64_t> tri_vertex_idx;  // 3 per triangle
+  std::vector<int32_t> tri_obj;
+  std::vector<std::string> names;
+
+  bool parse(const char* path) {
+    FILE* f = std::fopen(path, "rb");
+    if (!f) return false;
+    std::string line;
+    line.reserve(256);
+    int32_t cur_obj = -1;
+    char buf[1 << 16];
+    std::string carry;
+    auto handle_line = [&](const std::string& ln) {
+      const char* s = ln.c_str();
+      while (*s == ' ' || *s == '\t') ++s;
+      if (s[0] == 'v' && (s[1] == ' ' || s[1] == '\t')) {
+        float x = 0, y = 0, z = 0;
+        if (std::sscanf(s + 1, "%f %f %f", &x, &y, &z) == 3)
+          verts.push_back({x, y, z});
+      } else if ((s[0] == 'o' || s[0] == 'g') && (s[1] == ' ' || s[1] == '\t')) {
+        const char* n = s + 2;
+        while (*n == ' ' || *n == '\t') ++n;
+        std::string name(n);
+        while (!name.empty() && (name.back() == '\r' || name.back() == '\n' ||
+                                 name.back() == ' '))
+          name.pop_back();
+        names.push_back(name.empty() ? "object" : name);
+        cur_obj = static_cast<int32_t>(names.size()) - 1;
+      } else if (s[0] == 'f' && (s[1] == ' ' || s[1] == '\t')) {
+        if (cur_obj < 0) {  // faces before any o/g statement
+          names.push_back("default");
+          cur_obj = 0;
+        }
+        // collect vertex indices (first slash-field of each face token)
+        int64_t idx[64];
+        int n_idx = 0;
+        const char* p = s + 1;
+        while (*p && n_idx < 64) {
+          while (*p == ' ' || *p == '\t') ++p;
+          if (!*p || *p == '\r' || *p == '\n') break;
+          long v = std::strtol(p, const_cast<char**>(&p), 10);
+          if (v == 0) break;
+          idx[n_idx++] = v < 0 ? static_cast<int64_t>(verts.size()) + v
+                               : v - 1;
+          while (*p && *p != ' ' && *p != '\t') ++p;  // skip /vt/vn part
+        }
+        for (int k = 2; k < n_idx; ++k) {  // fan triangulation
+          tri_vertex_idx.push_back(idx[0]);
+          tri_vertex_idx.push_back(idx[k - 1]);
+          tri_vertex_idx.push_back(idx[k]);
+          tri_obj.push_back(cur_obj);
+        }
+      }
+    };
+    size_t got;
+    while ((got = std::fread(buf, 1, sizeof(buf), f)) > 0) {
+      size_t start = 0;
+      for (size_t i = 0; i < got; ++i) {
+        if (buf[i] == '\n') {
+          carry.append(buf + start, i - start);
+          handle_line(carry);
+          carry.clear();
+          start = i + 1;
+        }
+      }
+      carry.append(buf + start, got - start);
+    }
+    if (!carry.empty()) handle_line(carry);
+    std::fclose(f);
+    return true;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+int rr_obj_count(const char* path, int64_t* n_tris, int64_t* n_objects,
+                 int64_t* names_len) {
+  ObjScan scan;
+  if (!scan.parse(path)) return 1;
+  *n_tris = static_cast<int64_t>(scan.tri_obj.size());
+  *n_objects = static_cast<int64_t>(scan.names.size());
+  int64_t len = 0;
+  for (const auto& n : scan.names) len += static_cast<int64_t>(n.size()) + 1;
+  *names_len = len;
+  return 0;
+}
+
+int rr_obj_parse(const char* path, float* verts_out, int32_t* obj_ids_out,
+                 char* names_out) {
+  ObjScan scan;
+  if (!scan.parse(path)) return 1;
+  const int64_t T = static_cast<int64_t>(scan.tri_obj.size());
+  for (int64_t t = 0; t < T; ++t) {
+    for (int k = 0; k < 3; ++k) {
+      const int64_t vi = scan.tri_vertex_idx[t * 3 + k];
+      if (vi < 0 || vi >= static_cast<int64_t>(scan.verts.size())) return 2;
+      const auto& v = scan.verts[static_cast<size_t>(vi)];
+      verts_out[(t * 3 + k) * 3 + 0] = v[0];
+      verts_out[(t * 3 + k) * 3 + 1] = v[1];
+      verts_out[(t * 3 + k) * 3 + 2] = v[2];
+    }
+    obj_ids_out[t] = scan.tri_obj[static_cast<size_t>(t)];
+  }
+  char* out = names_out;
+  for (const auto& n : scan.names) {
+    std::memcpy(out, n.data(), n.size());
+    out += n.size();
+    *out++ = '\n';
+  }
+  return 0;
 }
 
 }  // extern "C"

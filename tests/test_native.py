@@ -61,3 +61,26 @@ def test_device_arrays_same_with_and_without_native(monkeypatch):
     np.testing.assert_array_equal(sa_native.obj_ids, sa_numpy.obj_ids)
     np.testing.assert_allclose(sa_native.planes_o, sa_numpy.planes_o, atol=1e-5)
     np.testing.assert_allclose(sa_native.chunk_aabb_lo, sa_numpy.chunk_aabb_lo)
+
+
+def test_obj_parse_parity(tmp_path):
+    """Native OBJ parser == Python parser on groups, polygons, negatives."""
+    obj = tmp_path / "t.obj"
+    obj.write_text(
+        "o first\n"
+        "v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\n"
+        "f 1 2 3 4\n"           # quad -> 2 triangles
+        "g second\n"
+        "v 0 0 1\nv 1 0 1\nv 0 1 1\n"
+        "f 5/1/1 6/2/2 7/3/3\n"  # v/vt/vn face
+        "f -3 -2 -1\n"           # negative indices
+    )
+    from radarays_ros_tpu.geom import mesh as M
+
+    verts, obj_ids, names = nb.parse_obj(obj)
+    ref = M._load_obj(obj, 8)
+    np.testing.assert_allclose(verts, ref.verts, atol=1e-6)
+    np.testing.assert_array_equal(obj_ids, ref.obj_ids)
+    assert names == list(ref.object_names)
+    assert verts.shape == (4, 3, 3)
+    assert names == ["first", "second"]
