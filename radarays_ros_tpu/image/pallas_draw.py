@@ -55,7 +55,7 @@ def _bin_kernel(cell_ref, s_ref, out_ref, *, n_cells: int, n_signals: int,
 @functools.partial(jax.jit,
                    static_argnames=("n_cells", "combine", "lanes", "interpret"))
 def bin_signals_pallas(cell, s, *, n_cells: int, combine: str = "sum",
-                       lanes: int = 128, interpret: bool = False):
+                       lanes: int = 512, interpret: bool = False):
     """Bin (A, N) signals -> (A, n_cells); `cell` must already encode
     invalid signals as an out-of-range value (e.g. n_cells)."""
     A, N = cell.shape

@@ -280,3 +280,23 @@ def test_perlin_affine_rows_matches_general():
             np.broadcast_to(y[:, None], (A, C))))
         fast = np.asarray(perlin_affine_rows(x0, y, scale, C))
         np.testing.assert_allclose(ref, fast, atol=1e-4)
+
+
+def test_pallas_draw_multiple_lane_groups(rng):
+    """Azimuth counts above the lane width exercise the multi-step grid."""
+    import jax.numpy as jnp
+
+    from radarays_ros_tpu.image.pallas_draw import bin_signals_pallas
+
+    A, N, C = 70, 24, 48
+    cell = jnp.asarray(rng.integers(0, C + 1, (A, N)).astype(np.int32))
+    s = jnp.asarray(rng.uniform(0, 1, (A, N)).astype(np.float32))
+    got = bin_signals_pallas(cell, s, n_cells=C, combine="sum", lanes=32,
+                             interpret=True)
+    ref = np.zeros((A, C), np.float32)
+    c_np, s_np = np.asarray(cell), np.asarray(s)
+    for a in range(A):
+        for n in range(N):
+            if c_np[a, n] < C:
+                ref[a, c_np[a, n]] += s_np[a, n]
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-5, atol=1e-5)
