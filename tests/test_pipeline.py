@@ -263,3 +263,33 @@ def test_opaque_materials_mode_matches_full(box_scene):
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(full.image_u8),
                                   np.asarray(slim.image_u8))
+
+
+def test_golden_frame_regression(box_scene, simple_materials):
+    """Full frame against a committed golden image (fixed key, all features
+    on: 3 bounces, multipath, denoise, Perlin noise). Guards semantic
+    regressions across refactors; regenerate deliberately if the pipeline's
+    intended output changes (see tests/golden/)."""
+    import pathlib
+
+    import jax
+
+    from radarays_ros_tpu.sim.config import RadarModelConfig, RadarParams
+    from radarays_ros_tpu.sim.pipeline import simulate_frame
+    from radarays_ros_tpu.utils.transforms import identity_pose
+
+    golden = pathlib.Path(__file__).parent / "golden" / "frame_box_seed123.npy"
+    params = RadarParams.make(simple_materials, [1, 2], beam_width_deg=4.0)
+    cfg = RadarModelConfig(
+        n_angles=32, n_cells=128, n_samples=6, n_reflections=3,
+        resolution=0.4, signal_denoising=1,
+        signal_denoising_triangular_width=9,
+        signal_denoising_triangular_mode=0.4, ambient_noise=2,
+        record_multi_reflection=True, record_multi_path=True)
+    res = simulate_frame(box_scene.device_arrays(), params, cfg,
+                         identity_pose(), jax.random.PRNGKey(123))
+    got = np.asarray(res.image_u8).astype(np.int32)
+    want = np.load(golden).astype(np.int32)
+    # allow the odd 1-LSB rounding flip across backends/fusions
+    assert np.mean(np.abs(got - want) > 1) < 0.001
+    np.testing.assert_allclose(got, want, atol=3)
