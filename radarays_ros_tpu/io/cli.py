@@ -166,13 +166,28 @@ def cmd_rays(args) -> int:
     pose = (Trajectory.load_tum(args.traj).pose_at(args.stamp)
             if args.traj else identity_pose())
 
-    result = trace_debug_rays(
-        scene.device_arrays(), params, cfg, pose,
-        yaw=args.yaw, n_bounces=args.bounces,
-        mode=("fan" if args.all_directions else
-              ("cone" if args.cone else "single")),
-        n_fan=args.n_fan, seed=args.seed,
-    )
+    mode = ("fan" if args.all_directions else
+            ("cone" if args.cone else "single"))
+    sa = scene.device_arrays()
+    if args.spin > 1:
+        # the spinning mode of RayReflection.cfg: sweep the beam yaw and
+        # collect every shot's segments (yaw tagged per segment)
+        result = {"segments": [], "n_rays": 0}
+        for k in range(args.spin):
+            yaw = args.yaw + k * args.yaw_increment
+            shot = trace_debug_rays(sa, params, cfg, pose, yaw=yaw,
+                                    n_bounces=args.bounces, mode=mode,
+                                    n_fan=args.n_fan, seed=args.seed)
+            for seg in shot["segments"]:
+                seg["yaw"] = round(yaw, 6)
+            result["segments"] += shot["segments"]
+            result["n_rays"] += shot["n_rays"]
+    else:
+        result = trace_debug_rays(
+            sa, params, cfg, pose,
+            yaw=args.yaw, n_bounces=args.bounces, mode=mode,
+            n_fan=args.n_fan, seed=args.seed,
+        )
     payload = json.dumps(result, indent=None if args.compact else 2)
     if args.out:
         Path(args.out).write_text(payload)
@@ -335,6 +350,10 @@ def build_parser() -> argparse.ArgumentParser:
     rays.add_argument("--all-directions", action="store_true",
                       help="360-degree fan (shoot_all_directions)")
     rays.add_argument("--n-fan", type=int, default=360)
+    rays.add_argument("--spin", type=int, default=1,
+                      help="number of spinning shots (RayReflection.cfg)")
+    rays.add_argument("--yaw-increment", type=float, default=0.0175,
+                      help="yaw step between spinning shots [rad]")
     rays.add_argument("--stamp", type=float, default=0.0)
     rays.add_argument("--compact", action="store_true")
     rays.add_argument("--out")

@@ -378,3 +378,18 @@ def test_cli_optimize_roundtrip(tiny_mesh_file, tmp_path):
     fitted = load_scene_config(fitted_path)
     # ambient moved from 0.3 toward the true 0.9
     assert abs(float(fitted.materials.ambient[1]) - 0.9) < abs(0.3 - 0.9)
+
+
+def test_cli_rays_spinning(tiny_mesh_file, tmp_path):
+    from radarays_ros_tpu.io.cli import main
+    import json
+
+    out = tmp_path / "spin.json"
+    rc = main(["rays", "--mesh", str(tiny_mesh_file), "--chunk-size", "8",
+               "--yaw", "0.0", "--bounces", "1", "--spin", "4",
+               "--yaw-increment", "0.5", "--out", str(out)])
+    assert rc == 0
+    data = json.loads(out.read_text())
+    assert data["n_rays"] == 4
+    yaws = sorted({s["yaw"] for s in data["segments"]})
+    assert yaws == [0.0, 0.5, 1.0, 1.5]
