@@ -8,14 +8,15 @@ TPU-shaped rebuild of the reference's per-signal splat loops
   * Range binning: cell = floor((0.3 * t / 2) / resolution)
     (RadarCPU.cpp:410-413); signals with cell >= n_cells are dropped.
   * Denoising splat: instead of scattering W kernel taps per signal, we
-    point-scatter each signal's strength into its cell and then run ONE 1-D
+    point-bin each signal's strength into its cell and then run ONE 1-D
     cross-correlation with the kernel along the range axis — mathematically
-    identical (the splat is linear) and far friendlier to XLA than a
-    (A, N, W) scatter. The reference's `glob_id > 0` guard
+    identical (the splat is linear). The reference's `glob_id > 0` guard
     (RadarCPU.cpp:423-424) — which silently never writes range cell 0 — is
     reproduced by zeroing row 0 after the convolution.
-  * No-denoise mode max-combines signals per cell (RadarCPU.cpp:434-448)
-    via a masked scatter-max.
+  * Point binning has three implementations (draw_method): "pallas" (one-hot
+    accumulate kernel, image/pallas_draw.py — fastest on TPU), "scatter"
+    (XLA scatter) and "sort" (sort+cumsum+searchsorted); parity-tested.
+  * No-denoise mode max-combines signals per cell (RadarCPU.cpp:434-448).
   * Ambient noise + normalization follow RadarCPU.cpp:453-542 exactly
     (signal-adaptive amplitude, exponential range floor, per-column
     signal_max/max_val scaling), with the Perlin scales/fractions taken from

@@ -6,9 +6,11 @@ after "brute" and the XLA "mxu"/"culled" engines (trace/planes.py). Same
 plane-equation intersection math (geom/scene.py:_triangle_planes), but as a
 hand-scheduled Pallas kernel:
 
-  * Grid = (ray_blocks, triangle_chunks); the running (best_t, best_idx)
-    output block is indexed by ray block only, so it lives in VMEM across the
-    whole inner chunk loop (the classic matmul-accumulator pattern).
+  * Grid = (ray_blocks, chunk_groups); each cell statically loops `group`
+    chunks (amortizing Mosaic grid overhead) and the running
+    (best_t, best_idx) output block is indexed by ray block only, so it
+    lives in VMEM across the whole chunk sweep (the classic
+    matmul-accumulator pattern).
   * Rays ride the LANE axis: the kernel computes SO = PO_chunk @ o_aug^T and
     SD = PD_chunk @ d_aug^T as (4*Tc, 4) x (4, RB) MXU matmuls, so every
     reduction (nearest-hit min/argmin) is a sublane reduction onto the
@@ -24,6 +26,11 @@ conservative (pure slab test), so trace_pallas is EXACT — parity with
 "brute" is asserted in tests/test_trace.py.
 
 On non-TPU backends the kernel runs in Pallas interpret mode (tests).
+
+Measured (checksum-fenced, one v5e chip, ~10k-triangle scene): 160k coherent
+rays in 57 ms; in the tuned-preset frame the four 20k-ray bounce passes and
+wave physics dominate the 44 ms frame. "pallas" beats "culled" 22.6 vs
+6.0 Hz end-to-end (docs/PERFORMANCE.md).
 """
 
 from __future__ import annotations
