@@ -219,3 +219,38 @@ def test_wave_move():
     w2 = w.move(3.0)
     np.testing.assert_allclose(np.asarray(w2.orig[0]), [3.0, 0, 0], atol=1e-6)
     assert float(w2.time[0]) == pytest.approx(10.0, abs=1e-5)  # 3 m / 0.3 m/ns
+
+
+# ------------------------------------------------------------ transforms
+
+def test_quat_to_matrix_golden():
+    from radarays_ros_tpu.utils.transforms import quat_from_euler, quat_to_matrix
+
+    # yaw 90deg: +x maps to +y
+    q = quat_from_euler(0.0, 0.0, np.pi / 2)
+    R = np.asarray(quat_to_matrix(jnp.asarray(q, jnp.float32)))
+    np.testing.assert_allclose(R @ np.array([1.0, 0, 0]), [0, 1, 0], atol=1e-6)
+    # rotation matrices are orthonormal
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-6)
+
+
+def test_interpolate_poses_endpoints():
+    from radarays_ros_tpu.utils.transforms import (
+        identity_pose, interpolate_poses, make_pose, quat_from_euler)
+
+    pa = identity_pose()
+    pb = make_pose([2.0, 0, 0], quat_from_euler(0, 0, np.pi / 2))
+    out = np.asarray(interpolate_poses(pa, pb, jnp.asarray([0.0, 1.0])))
+    np.testing.assert_allclose(out[0], pa, atol=1e-6)
+    # endpoint equals pb up to quaternion sign
+    assert min(np.linalg.norm(out[1] - pb),
+               np.linalg.norm(out[1] - np.concatenate([pb[:3], -pb[3:]]))) < 1e-5
+
+
+def test_azimuth_angles_spin_direction():
+    from radarays_ros_tpu.utils.transforms import azimuth_angles
+
+    th = np.asarray(azimuth_angles(400))
+    assert th[0] == 0.0
+    assert th[1] < 0.0  # clockwise spin (theta.inc = -2pi/400, Radar.cpp:27-32)
+    np.testing.assert_allclose(th[200], -np.pi, atol=1e-5)
