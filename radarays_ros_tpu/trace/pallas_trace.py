@@ -27,10 +27,14 @@ conservative (pure slab test), so trace_pallas is EXACT — parity with
 
 On non-TPU backends the kernel runs in Pallas interpret mode (tests).
 
-Measured (checksum-fenced, one v5e chip, ~10k-triangle scene): 160k coherent
-rays in 57 ms; in the tuned-preset frame the four 20k-ray bounce passes and
-wave physics dominate the 44 ms frame. "pallas" beats "culled" 22.6 vs
-6.0 Hz end-to-end (docs/PERFORMANCE.md).
+Measured (checksum-fenced, one v5e chip): the tuned-preset frame runs at
+~16.6 ms on-device with this engine; "pallas" beats "culled" ~10x
+end-to-end (docs/PERFORMANCE.md, incl. scene-size scaling to 1M triangles).
+
+Known limit: the (ray_blocks, chunks) skip mask lives in SMEM, so
+ray_blocks * chunks must stay small (~40k int32); at 1M triangles
+(≈3.9k chunks) use ray_block >= 2048. Round-2 work: hierarchical culling +
+a VMEM-resident mask for huge scenes.
 """
 
 from __future__ import annotations
