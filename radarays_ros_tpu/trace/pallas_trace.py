@@ -31,10 +31,10 @@ Measured (checksum-fenced, one v5e chip): the tuned-preset frame runs at
 ~16.6 ms on-device with this engine; "pallas" beats "culled" ~10x
 end-to-end (docs/PERFORMANCE.md, incl. scene-size scaling to 1M triangles).
 
-Known limit: the (ray_blocks, chunks) skip mask lives in SMEM, so
-ray_blocks * chunks must stay small (~40k int32); at 1M triangles
-(≈3.9k chunks) use ray_block >= 2048. Round-2 work: hierarchical culling +
-a VMEM-resident mask for huge scenes.
+The skip mask is bit-packed (32 chunks per int32 word) so its SMEM
+footprint is ray_blocks * chunks / 32 words — fine up to multi-million
+triangle scenes. Round-2 work: hierarchical culling for the chunk-visit
+count itself.
 """
 
 from __future__ import annotations
@@ -73,9 +73,11 @@ def _trace_kernel(mask_ref, o_ref, d_ref, po_ref, pd_ref,
         best_idx_ref[:] = jnp.zeros(best_idx_ref.shape, jnp.int32)
 
     # this grid cell covers chunks [j*group, (j+1)*group); per-chunk skip
-    # stays fine-grained while Mosaic grid overhead is amortized `group`-fold
+    # stays fine-grained while Mosaic grid overhead is amortized `group`-fold.
+    # the mask is bit-packed 32 chunks/word so it fits SMEM for huge scenes
     for g in range(group):
-        @pl.when(mask_ref[i, j * group + g] != 0)
+        jj = j * group + g
+        @pl.when((mask_ref[i, jj // 32] >> (jj % 32)) & 1 != 0)
         def _compute(g=g):
             po = po_ref[0, g * 4 * tc:(g + 1) * 4 * tc, :]
             pd = pd_ref[0, g * 4 * tc:(g + 1) * 4 * tc, :]
@@ -151,11 +153,21 @@ def _trace_pallas_impl(planes_o, planes_d, chunk_lo, chunk_hi, origs, dirs, *,
         [pd_rows, jnp.zeros((C, 4, tc, 1), jnp.float32)], axis=-1
     ).reshape(C // group, group * 4 * tc, 4)
 
-    # conservative chunk-skip mask: slab test per ray block (XLA, cheap)
+    # conservative chunk-skip mask: slab test per ray block (XLA, cheap),
+    # bit-packed 32 chunks per int32 word to bound the SMEM footprint
     inv_d = 1.0 / jnp.where(jnp.abs(d) > _DIR_EPS, d,
                             jnp.where(d >= 0, _DIR_EPS, -_DIR_EPS))
     _, overlap = _ray_aabb(o, inv_d, chunk_lo, chunk_hi)   # (B*RB, C)
-    mask = overlap.reshape(n_blocks, RB, C).any(axis=1).astype(jnp.int32)
+    mask = overlap.reshape(n_blocks, RB, C).any(axis=1)
+    pad_w = (-C) % 32
+    if pad_w:
+        mask = jnp.concatenate(
+            [mask, jnp.zeros((n_blocks, pad_w), bool)], axis=1)
+    shifts = jnp.left_shift(
+        jnp.uint32(1), jnp.arange(32, dtype=jnp.uint32))[None, None, :]
+    mask = jnp.sum(
+        mask.reshape(n_blocks, -1, 32).astype(jnp.uint32) * shifts,
+        axis=-1).astype(jnp.int32)                          # (B, ceil(C/32))
 
     kernel = functools.partial(
         _trace_kernel, tc=tc, group=group,
