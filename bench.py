@@ -59,7 +59,7 @@ def build_benchmark():
         record_multi_reflection=True,
         record_multi_path=False,
         opaque_materials=True,  # wall-stone velocity 0: refraction provably dead
-        trace_engine="pallas",
+        trace_engine="pallas3",
         trace_ray_block=2048,
         draw_method="pallas",
     )

@@ -313,7 +313,9 @@ def _common(p: argparse.ArgumentParser):
     p.add_argument("--mesh", required=True, help="scene mesh (.ply/.obj/.stl)")
     p.add_argument("--scene-config", help="materials YAML (reference format)")
     p.add_argument("--preset", help="dyncfg preset YAML")
-    p.add_argument("--engine", choices=["brute", "mxu", "culled", "pallas"],
+    p.add_argument("--engine",
+                   choices=["brute", "mxu", "culled", "pallas", "pallas2",
+                            "pallas3"],
                    help="trace engine override")
     p.add_argument("--chunk-size", type=int, default=256)
     p.add_argument("--seed", type=int, default=0)

@@ -141,9 +141,10 @@ class RadarModelConfig:
 
     # --- radar geometry (Radar.cpp:27-32) + engine knobs (TPU-specific).
     # Production-TPU tuning (bench.py, docs/PERFORMANCE.md): trace_engine
-    # "pallas", trace_ray_block 2048, draw_method "pallas"; opaque_materials
-    # auto-set by Radar when the material table proves it exact. Defaults
-    # here favor portability (pure-XLA paths run everywhere).
+    # "pallas3" (ordered sweep + early termination + HBM DMA — fastest at
+    # every measured scale), trace_ray_block 2048, draw_method "pallas";
+    # opaque_materials auto-set by Radar when the material table proves it
+    # exact. Defaults here favor portability (pure-XLA paths run everywhere).
     n_angles: int = 400
     material_id_air: int = 0
     wave_energy_threshold: float = 0.001           # Radar.cpp:24

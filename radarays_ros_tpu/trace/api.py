@@ -18,6 +18,9 @@ Engines:
                (trace/pallas_trace.py); the default production engine.
   * "pallas2" — experimental Pallas variant with the chunk sweep inside the
                kernel and scene planes VMEM-resident (trace/pallas_trace.py).
+  * "pallas3" — the production engine: front-to-back chunk sweep with early
+               termination and double-buffered HBM->VMEM plane DMA; fastest
+               at every measured scale (trace/pallas_trace.py).
 
 All engines consume the same SceneArrays and return identical TraceResult
 structures; parity is asserted in tests/test_trace.py.
@@ -57,6 +60,9 @@ def trace(scene_arrays, origs, dirs, engine: str = "mxu", **kwargs) -> TraceResu
     elif engine == "pallas2":
         from radarays_ros_tpu.trace.pallas_trace import trace_pallas_v2
         res = trace_pallas_v2(scene_arrays, o, d, **kwargs)
+    elif engine == "pallas3":
+        from radarays_ros_tpu.trace.pallas_trace import trace_pallas_v3
+        res = trace_pallas_v3(scene_arrays, o, d, **kwargs)
     else:
         raise ValueError(f"unknown trace engine {engine!r}")
     return TraceResult(

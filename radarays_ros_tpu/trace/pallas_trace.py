@@ -373,3 +373,274 @@ def trace_pallas_v2(scene, origs, dirs, t_min: float = 0.0,
         t_min=t_min, t_max=t_max, interpret=interpret,
     )
     return _finalize(scene, origs, dirs, best_idx, best_t)
+
+
+def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, o_ref, d_ref,
+                     po_hbm, pd_hbm, best_t_ref, best_idx_ref,
+                     order_ref, entry_ref, idx_sem,
+                     po_buf, pd_buf, po_sem, pd_sem, *, tc: int,
+                     t_min: float, t_max: float):
+    """v3: ordered chunk sweep with early termination and HBM->VMEM DMA.
+
+    Per ray block, chunks are walked front-to-back (order_ref, ranked by the
+    block's slab-entry distance); the sweep stops as soon as every ray's
+    best hit is closer than the nearest entry among the remaining chunks
+    (suffix_ref, the per-rank suffix-min of ranked entries) — the standard
+    BVH termination criterion, applied block-wide. Plane slabs stream from
+    HBM through double-buffered async copies, so scene size is bounded by
+    HBM, not VMEM.
+    """
+    i = pl.program_id(0)
+
+    best_t_ref[:] = jnp.full(best_t_ref.shape, jnp.inf, jnp.float32)
+    best_idx_ref[:] = jnp.zeros(best_idx_ref.shape, jnp.int32)
+
+    n = nvisit_ref[i, 0]
+    o = o_ref[0]
+    d = d_ref[0]
+
+    # the ranked chunk list and its entry distances are too large for SMEM
+    # across all ray blocks at big scenes; stream this block's rows in.
+    # tables are shaped (B, 8, Cp/8): HBM tiling constrains only the last
+    # two dims, so the per-block copy moves whole aligned tiles
+    W = order_ref.shape[1]
+    cp_o = pltpu.make_async_copy(order_hbm.at[i], order_ref, idx_sem.at[0])
+    cp_e = pltpu.make_async_copy(entry_hbm.at[i], entry_ref, idx_sem.at[1])
+    cp_o.start()
+    cp_e.start()
+    cp_o.wait()
+    cp_e.wait()
+
+    def dma(k, slot):
+        # planes live transposed in HBM as (4, C*4*Tc) so the DMA's trailing
+        # dimension (the slab, a multiple of 128) satisfies lane tiling
+        c = order_ref[k // W, k % W]
+        return (
+            pltpu.make_async_copy(
+                po_hbm.at[:, pl.ds(c * 4 * tc, 4 * tc)], po_buf.at[slot],
+                po_sem.at[slot]),
+            pltpu.make_async_copy(
+                pd_hbm.at[:, pl.ds(c * 4 * tc, 4 * tc)], pd_buf.at[slot],
+                pd_sem.at[slot]),
+        )
+
+    @pl.when(n > 0)
+    def _sweep():
+        a, b = dma(0, 0)
+        a.start()
+        b.start()
+
+        def cond(carry):
+            k, done = carry
+            return (k < n) & jnp.logical_not(done)
+
+        def body(carry):
+            k, _ = carry
+            slot = jax.lax.rem(k, 2)
+
+            @pl.when(k + 1 < n)
+            def _prefetch():
+                a, b = dma(k + 1, 1 - slot)
+                a.start()
+                b.start()
+
+            a, b = dma(k, slot)
+            a.wait()
+            b.wait()
+
+            # contract the coordinate axis (dim 0 of both operands): no
+            # transpose needed for the (4, 4*Tc) buffer layout
+            dn = (((0,), (0,)), ((), ()))
+            so = jax.lax.dot_general(po_buf[slot], o, dn,
+                                     preferred_element_type=jnp.float32)
+            sd = jax.lax.dot_general(pd_buf[slot], d, dn,
+                                     preferred_element_type=jnp.float32)
+            so_s, sd_s = so[0:tc], sd[0:tc]
+            denom_ok = jnp.abs(sd_s) > _DIR_EPS
+            t = -so_s / jnp.where(denom_ok, sd_s, 1.0)
+            inside = (
+                (so[tc:2 * tc] + t * sd[tc:2 * tc] >= -_INSIDE_EPS)
+                & (so[2 * tc:3 * tc] + t * sd[2 * tc:3 * tc] >= -_INSIDE_EPS)
+                & (so[3 * tc:4 * tc] + t * sd[3 * tc:4 * tc] >= -_INSIDE_EPS)
+            )
+            hit = denom_ok & inside & (t >= t_min) & (t <= t_max)
+            t_masked = jnp.where(hit, t, jnp.inf)             # (Tc, RB)
+            local_t = jnp.min(t_masked, axis=0, keepdims=True)
+            rows = jax.lax.broadcasted_iota(jnp.int32, t_masked.shape, 0)
+            local_i = jnp.min(
+                jnp.where(t_masked == local_t, rows, _BIG_IDX),
+                axis=0, keepdims=True)
+            c = order_ref[k // W, k % W]
+            better = local_t[None] < best_t_ref[:]
+            best_t_ref[:] = jnp.where(better, local_t[None], best_t_ref[:])
+            best_idx_ref[:] = jnp.where(better, (c * tc + local_i)[None],
+                                        best_idx_ref[:])
+
+            # early termination: ranked entries are non-decreasing, so the
+            # next chunk's entry bounds every remaining chunk's entry
+            worst = jnp.max(best_t_ref[0, 0, :])
+            done = entry_ref[(k + 1) // W, (k + 1) % W] > worst
+            return k + 1, done
+
+        k_final, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), False))
+
+        # early termination leaves the prefetched (k_final) slab's DMA in
+        # flight; every started DMA must be awaited before the kernel ends
+        @pl.when(k_final < n)
+        def _drain():
+            a, b = dma(k_final, jax.lax.rem(k_final, 2))
+            a.wait()
+            b.wait()
+
+
+def _v3_callable(chunk_size: int, ray_block: int, t_min: float,
+                 t_max: float, interpret: bool):
+    """Build the v3 impl with a custom vmap rule: batched rays flatten into
+    the ray axis (rays are independent), because Pallas ANY-space operands
+    (the HBM-resident plane/order tables) cannot be batched by vmap."""
+
+    @jax.custom_batching.custom_vmap
+    def impl(planes_o, planes_d, chunk_lo, chunk_hi, origs, dirs):
+        return _trace_pallas_v3_impl(
+            planes_o, planes_d, chunk_lo, chunk_hi, origs, dirs,
+            chunk_size=chunk_size, ray_block=ray_block,
+            t_min=t_min, t_max=t_max, interpret=interpret)
+
+    @impl.def_vmap
+    def _vmap_rule(axis_size, in_batched, planes_o, planes_d, chunk_lo,
+                   chunk_hi, origs, dirs):
+        po_b, pd_b, lo_b, hi_b, o_b, d_b = in_batched
+        if po_b or pd_b or lo_b or hi_b:
+            raise NotImplementedError(
+                "pallas3 cannot batch over scenes; batch rays/poses only")
+        o = jnp.moveaxis(origs, 0, 0) if o_b else jnp.broadcast_to(
+            origs[None], (axis_size,) + origs.shape)
+        d = jnp.moveaxis(dirs, 0, 0) if d_b else jnp.broadcast_to(
+            dirs[None], (axis_size,) + dirs.shape)
+        R = o.shape[1]
+        t, idx = impl(planes_o, planes_d, chunk_lo, chunk_hi,
+                      o.reshape(-1, 3), d.reshape(-1, 3))
+        return (t.reshape(axis_size, R), idx.reshape(axis_size, R)),             (True, True)
+
+    return impl
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("chunk_size", "ray_block", "t_min", "t_max", "interpret"),
+)
+def _trace_pallas_v3_impl(planes_o, planes_d, chunk_lo, chunk_hi, origs, dirs,
+                          *, chunk_size: int, ray_block: int, t_min: float,
+                          t_max: float, interpret: bool):
+    tc = chunk_size
+    C = planes_o.shape[0] // (4 * tc)
+    R = origs.shape[0]
+    RB = ray_block
+    pad = (-R) % RB
+    o = jnp.concatenate([origs, jnp.zeros((pad, 3), jnp.float32)], axis=0)
+    d = jnp.concatenate([dirs, jnp.ones((pad, 3), jnp.float32)], axis=0)
+    n_blocks = o.shape[0] // RB
+
+    ones = jnp.ones((o.shape[0], 1), jnp.float32)
+    zeros = jnp.zeros((o.shape[0], 1), jnp.float32)
+    o_aug = jnp.concatenate([o, ones], axis=-1).reshape(n_blocks, RB, 4)
+    o_aug = o_aug.transpose(0, 2, 1)
+    d_aug = jnp.concatenate([d, zeros], axis=-1).reshape(n_blocks, RB, 4)
+    d_aug = d_aug.transpose(0, 2, 1)
+
+    # grouped plane layout, transposed for 128-aligned DMA: (4, C*4*Tc)
+    po = planes_o.reshape(C, tc, 4, 4).transpose(0, 2, 1, 3).reshape(
+        C * 4 * tc, 4).T
+    pd_rows = planes_d.reshape(C, tc, 4, 3).transpose(0, 2, 1, 3)
+    pd = jnp.concatenate(
+        [pd_rows, jnp.zeros((C, 4, tc, 1), jnp.float32)], axis=-1
+    ).reshape(C * 4 * tc, 4).T
+
+    # per-block front-to-back chunk ranking + suffix-min entries (XLA prep)
+    inv_d = 1.0 / jnp.where(jnp.abs(d) > _DIR_EPS, d,
+                            jnp.where(d >= 0, _DIR_EPS, -_DIR_EPS))
+    t_near, overlap = _ray_aabb(o, inv_d, chunk_lo, chunk_hi)  # (B*RB, C)
+    t_near = jnp.where(overlap & (t_near <= t_max),
+                       jnp.maximum(t_near, 0.0), jnp.inf)
+    entry = jnp.min(t_near.reshape(n_blocks, RB, C), axis=1)   # (B, C)
+    order = jnp.argsort(entry, axis=1).astype(jnp.int32)       # (B, C)
+    entry_ranked = jnp.take_along_axis(entry, order, axis=1)  # sorted asc
+    nvisit = jnp.sum(jnp.isfinite(entry_ranked), axis=1,
+                     keepdims=True).astype(jnp.int32)        # (B, 1)
+    # pad the ranked tables so their (8, Cp/8) tile shape is aligned; the
+    # entry padding is +inf so the termination test holds at k+1 == n == C
+    Cp = ((C + 1 + 1023) // 1024) * 1024
+    order = jnp.concatenate(
+        [order, jnp.zeros((n_blocks, Cp - C), jnp.int32)],
+        axis=1).reshape(n_blocks, 8, Cp // 8)
+    entry_pad = jnp.concatenate(
+        [entry_ranked, jnp.full((n_blocks, Cp - C), jnp.inf)],
+        axis=1).reshape(n_blocks, 8, Cp // 8)
+
+    kernel = functools.partial(
+        _trace_kernel_v3, tc=tc, t_min=float(t_min), t_max=float(t_max))
+
+    best_t, best_idx = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # nvisit (B, 1)
+            pl.BlockSpec(memory_space=pltpu.HBM),    # order (B, Cp)
+            pl.BlockSpec(memory_space=pltpu.HBM),    # ranked entries (B, Cp)
+            pl.BlockSpec((1, 4, RB), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, RB), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),    # po
+            pl.BlockSpec(memory_space=pltpu.HBM),    # pd
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, RB), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, RB), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_blocks, 1, RB), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, 1, RB), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((8, Cp // 8), jnp.int32),       # this block's order
+            pltpu.SMEM((8, Cp // 8), jnp.float32),     # this block's entries
+            pltpu.SemaphoreType.DMA((2,)),             # order/entry DMA
+            pltpu.VMEM((2, 4, 4 * tc), jnp.float32),   # po double buffer
+            pltpu.VMEM((2, 4, 4 * tc), jnp.float32),   # pd double buffer
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(nvisit, order, entry_pad, o_aug, d_aug, po, pd)
+
+    return best_t.reshape(-1)[:R], best_idx.reshape(-1)[:R]
+
+
+def trace_pallas_v3(scene, origs, dirs, t_min: float = 0.0,
+                    t_max: float = 1000.0, ray_block: int = 2048,
+                    interpret: bool | None = None, **_ignored):
+    """v3 Pallas trace: front-to-back sweep + early termination + HBM DMA.
+
+    The BVH-style engine for large scenes: chunk visits stop at the block's
+    nearest hits instead of scanning every overlapped chunk. Exact (the
+    termination criterion is conservative); parity-tested against brute.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    chunk_size = scene.verts.shape[0] // scene.chunk_aabb_lo.shape[0]
+    if chunk_size % 8 != 0:
+        raise ValueError(
+            f"pallas trace needs chunk_size % 8 == 0, got {chunk_size}")
+    if ray_block % 128 != 0:
+        raise ValueError(f"ray_block must be a multiple of 128, got {ray_block}")
+    impl = _v3_callable(chunk_size, ray_block, float(t_min), float(t_max),
+                        interpret)
+    best_t, best_idx = impl(
+        jnp.asarray(scene.planes_o), jnp.asarray(scene.planes_d),
+        jnp.asarray(scene.chunk_aabb_lo), jnp.asarray(scene.chunk_aabb_hi),
+        jnp.asarray(origs), jnp.asarray(dirs),
+    )
+    return _finalize(scene, origs, dirs, best_idx, best_t)

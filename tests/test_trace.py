@@ -148,3 +148,26 @@ def test_pallas_v2_engine_parity(box_scene, rng):
     np.testing.assert_allclose(np.asarray(ref.t)[hit], np.asarray(got.t)[hit],
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_array_equal(np.asarray(ref.obj_id), np.asarray(got.obj_id))
+
+
+def test_pallas_v3_engine_parity(box_scene, rng):
+    """v3 (ordered sweep + early termination + HBM DMA) matches brute,
+    including under vmap (the frame-batch path uses a custom_vmap rule)."""
+    import jax
+
+    sa = box_scene.device_arrays()
+    o, d = _rays_from_origin(300, rng)
+    ref = trace(sa, o, d, engine="brute")
+    got = trace(sa, o, d, engine="pallas3", ray_block=128)
+    np.testing.assert_array_equal(np.asarray(ref.hit), np.asarray(got.hit))
+    hit = np.asarray(ref.hit)
+    np.testing.assert_allclose(np.asarray(ref.t)[hit], np.asarray(got.t)[hit],
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(ref.obj_id), np.asarray(got.obj_id))
+
+    ov = jnp.stack([o, o + 0.01])
+    dv = jnp.stack([d, d])
+    tv = jax.vmap(lambda oo, dd: trace(sa, oo, dd, engine="pallas3",
+                                       ray_block=128).t)(ov, dv)
+    np.testing.assert_allclose(np.asarray(tv[0])[hit],
+                               np.asarray(ref.t)[hit], rtol=1e-4, atol=1e-4)
