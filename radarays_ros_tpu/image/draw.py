@@ -79,7 +79,9 @@ def _rowwise_bin_max(cell, s, ok, n_cells: int):
     has = hi > lo[:, :-1]
     rows = jnp.arange(A)[:, None]
     vals = s_s[rows, jnp.maximum(hi - 1, 0)]
-    return jnp.where(has, vals, 0.0)
+    # clamp to 0 like the scatter path (jnp.maximum(img, 0.0) below) and the
+    # pallas kernel, so negative strengths bin identically across methods
+    return jnp.where(has, jnp.maximum(vals, 0.0), 0.0)
 
 
 def draw_signals(times, strengths, valid, *, n_cells: int, resolution,

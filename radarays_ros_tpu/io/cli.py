@@ -260,9 +260,16 @@ def cmd_optimize(args) -> int:
     pv = ParamVector(material_slots=slots, tune_n_reflections=False,
                      tune_beam_width=False)
 
+    from radarays_ros_tpu.sim.pipeline import float_u8_image
+
     def loss_of_params(p):
+        # loss on the differentiable u8-scale float image — image_u8 itself
+        # is rounded + integer-cast, whose gradients are identically zero
         res = simulate_frame(scene_arrays, p, cfg, pose, key)
-        return -psnr(res.image_u8.astype(jnp.float32), target_f)
+        return -psnr(float_u8_image(res, cfg), target_f)
+
+    init_loss = float(jax.jit(loss_of_params)(params))
+    print(f"initial PSNR {-init_loss:.3f} dB")
 
     if args.method == "gradient":
         res = optimize_gradient(loss_of_params, params, pv,

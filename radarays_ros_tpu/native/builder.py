@@ -48,7 +48,7 @@ def _lib():
         lib.rr_obj_count.restype = ctypes.c_int
         lib.rr_obj_parse.argtypes = [
             ctypes.c_char_p, fp, ctypes.POINTER(ctypes.c_int32),
-            ctypes.c_char_p]
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64]
         lib.rr_obj_parse.restype = ctypes.c_int
         _LIB = lib
     except (OSError, AttributeError):
@@ -118,9 +118,13 @@ def parse_obj(path):
     verts = np.empty((T, 3, 3), np.float32)
     obj_ids = np.empty(T, np.int32)
     names_buf = ctypes.create_string_buffer(max(names_len.value, 1))
-    if lib.rr_obj_parse(pathb, _fp(verts),
-                        obj_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-                        names_buf) != 0:
-        raise IOError(f"cannot parse OBJ: {path}")
+    # capacities clamp the second parse: if the file changed between count
+    # and parse, the native side errors instead of overrunning the buffers
+    rc = lib.rr_obj_parse(pathb, _fp(verts),
+                          obj_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                          names_buf, ctypes.c_int64(T),
+                          ctypes.c_int64(max(names_len.value, 1)))
+    if rc != 0:
+        raise IOError(f"cannot parse OBJ ({'changed on disk' if rc == 3 else 'parse error'}): {path}")
     names = names_buf.raw[:names_len.value].decode().split("\n")[:n_objects.value]
     return verts, obj_ids, names

@@ -265,10 +265,16 @@ int rr_obj_count(const char* path, int64_t* n_tris, int64_t* n_objects,
 }
 
 int rr_obj_parse(const char* path, float* verts_out, int32_t* obj_ids_out,
-                 char* names_out) {
+                 char* names_out, int64_t tris_cap, int64_t names_cap) {
   ObjScan scan;
   if (!scan.parse(path)) return 1;
   const int64_t T = static_cast<int64_t>(scan.tri_obj.size());
+  // the output buffers were sized by a separate rr_obj_count call; if the
+  // file grew between the two calls, writing T triangles would overrun them
+  if (T > tris_cap) return 3;
+  int64_t names_len = 0;
+  for (const auto& n : scan.names) names_len += static_cast<int64_t>(n.size()) + 1;
+  if (names_len > names_cap) return 3;
   for (int64_t t = 0; t < T; ++t) {
     for (int k = 0; k < 3; ++k) {
       const int64_t vi = scan.tri_vertex_idx[t * 3 + k];

@@ -107,14 +107,18 @@ class ParamVector:
 
 
 def default_objective(scene, cfg: RadarModelConfig, poses, key, target_u8):
-    """-PSNR(sim, real) over uint8 images — the reference's objective
-    (radaray_opti.py:205). Uses the float image for differentiability; the
-    normalization to signal_max keeps it on the u8 scale."""
+    """-PSNR(sim, real) over uint8-scale images — the reference's objective
+    (radaray_opti.py:205). Computed on `float_u8_image` (the per-column
+    normalized float frame on the 0..255 scale, sim/pipeline.py), NOT on
+    image_u8: gradients through jnp.round and the uint8 cast are identically
+    zero, which would silently freeze every gradient-based optimizer."""
+    from radarays_ros_tpu.sim.pipeline import float_u8_image
+
     target = jnp.asarray(target_u8, jnp.float32)
 
     def objective(params: RadarParams):
         res = simulate_frame(scene, params, cfg, poses, key)
-        return -psnr(res.image_u8.astype(jnp.float32).T, target.T)
+        return -psnr(float_u8_image(res, cfg).T, target.T)
 
     return objective
 

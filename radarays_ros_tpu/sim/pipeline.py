@@ -298,6 +298,27 @@ def simulate_frame(scene: SceneArrays, params: RadarParams,
 simulate_frame_jit = jax.jit(simulate_frame, static_argnames=("cfg",))
 
 
+def float_u8_image(res: FrameResult, cfg: RadarModelConfig) -> jnp.ndarray:
+    """Differentiable float stand-in for `image_u8`, on the 0..255 scale.
+
+    `image_u8` goes through jnp.round + an integer cast (image/draw.py:
+    normalize_to_u8), both of which have identically-zero gradients — any
+    loss computed on it silently kills gradient-based optimization. This
+    reproduces the same per-column signal_max/max_val normalization, clip
+    and scroll permutation (RadarCPU.cpp:533-542) WITHOUT the quantization,
+    so |float_u8_image - image_u8| <= 0.5 per pixel while gradients flow
+    through image_float and max_val. Shape (n_cells, n_angles), like
+    image_u8.
+    """
+    mv = res.max_val
+    scale = jnp.where(mv > 0.0, cfg.signal_max / jnp.where(mv > 0.0, mv, 1.0),
+                      0.0)
+    img = jnp.clip(res.image_float * scale[:, None], 0.0, 255.0)
+    cols = (cfg.scroll_image + jnp.arange(cfg.n_angles, dtype=jnp.int32)) \
+        % cfg.n_angles
+    return jnp.zeros_like(img).at[cols].set(img).T
+
+
 def simulate_frames(scene: SceneArrays, params: RadarParams,
                     cfg: RadarModelConfig, poses_batch, keys) -> FrameResult:
     """Batched frames: vmap the whole pipeline over a pose/key batch.

@@ -43,7 +43,9 @@ class Radar:
     ):
         from radarays_ros_tpu.utils.profiling import StageTimer
 
-        self.timer = StageTimer(enabled=True)
+        # timing forces a host sync per frame (block_until_ready through the
+        # remote relay); keep the default path async-dispatch
+        self.timer = StageTimer(enabled=verbose_timing)
         self.verbose_timing = verbose_timing
         self.scene = scene
         self._scene_arrays = jax.tree_util.tree_map(
@@ -132,12 +134,14 @@ class Radar:
             self._scene_arrays, self.params, self.cfg,
             jnp.asarray(pose, jnp.float32), (self._cone_key, sub),
         )
-        jax.block_until_ready(res.image_u8)
-        dt = time.perf_counter() - t0
-        self.timer.add("frame", dt)
         if self.verbose_timing:
             # per-frame wall-time print, as the reference engines do
-            # (RadarCPU.cpp:550-553)
+            # (RadarCPU.cpp:550-553). Fencing + timing only here: a
+            # block_until_ready on every frame would serialize dispatch
+            # through the remote relay for the interactive API.
+            jax.block_until_ready(res.image_u8)
+            dt = time.perf_counter() - t0
+            self.timer.add("frame", dt)
             n = self.timer.counts["frame"]
             print(f"[radar] {dt * 1e3:8.2f} ms "
                   f"(avg {self.timer.totals['frame'] / n * 1e3:.2f} ms over {n} frames)")

@@ -1,6 +1,8 @@
 """IO-layer tests: YAML formats, trajectory interpolation, PNG round-trip,
 CLI smoke."""
 
+import re
+
 import numpy as np
 import pytest
 
@@ -331,17 +333,25 @@ def test_cli_simulate_synced_trajectory(tiny_mesh_file, tmp_path):
     assert len(list(out.glob("frame_*.npy"))) == 2
 
 
-def test_cli_optimize_roundtrip(tiny_mesh_file, tmp_path):
-    """cli optimize: render a target with known materials, perturb, refit."""
+def test_cli_optimize_roundtrip(tiny_mesh_file, tmp_path, capsys):
+    """cli optimize: render a target with known materials, perturb, refit.
+
+    The preset must make the loss genuinely sensitive to the tuned slot: a
+    wide beam + several samples + 2 recorded reflections give each azimuth
+    column signals at multiple incidence angles and cells, so the per-column
+    normalization cannot cancel the ambient/diffuse mix change. The test
+    asserts the optimizer actually improved the loss (the round-1 version
+    passed spuriously on a flat objective)."""
     from radarays_ros_tpu.io.cli import main
     from radarays_ros_tpu.io.config import load_scene_config, save_preset, save_scene_config
     from radarays_ros_tpu.sim.config import Materials, RadarModelConfig
 
     preset = tmp_path / "preset.yaml"
     save_preset(preset, RadarModelConfig(
-        n_angles=16, n_cells=64, n_samples=3, n_reflections=1,
+        n_angles=16, n_cells=64, n_samples=8, n_reflections=2,
+        record_multi_reflection=True,
         resolution=0.25, ambient_noise=0, signal_denoising=0),
-        beam_width_deg=2.0)
+        beam_width_deg=25.0)
 
     true_mats = Materials.from_list([
         dict(velocity=0.3, ambient=1.0, diffuse=0.0, specular=1.0),
@@ -375,9 +385,17 @@ def test_cli_optimize_roundtrip(tiny_mesh_file, tmp_path):
                "--out-config", str(fitted_path)])
     assert rc == 0
     assert ck.exists()
+
+    # the objective must be non-flat and the optimizer must improve it
+    out_text = capsys.readouterr().out
+    init_db = float(re.search(r"initial PSNR ([-\d.]+) dB", out_text).group(1))
+    final_db = float(re.search(r"final PSNR ([-\d.]+) dB", out_text).group(1))
+    assert init_db < 100.0, "target identical to start frame: flat objective"
+    assert final_db > init_db + 0.1, (init_db, final_db)
+
     fitted = load_scene_config(fitted_path)
-    # ambient moved from 0.3 toward the true 0.9
-    assert abs(float(fitted.materials.ambient[1]) - 0.9) < abs(0.3 - 0.9)
+    # ambient moved from 0.3 toward the true 0.9, strictly beyond float jitter
+    assert abs(float(fitted.materials.ambient[1]) - 0.9) < abs(0.3 - 0.9) - 0.05
 
 
 def test_cli_rays_spinning(tiny_mesh_file, tmp_path):
