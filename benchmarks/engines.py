@@ -40,7 +40,7 @@ def main():
     ap.add_argument("--rays", type=int, default=160_000)
     ap.add_argument("--frames", type=int, default=10)
     ap.add_argument("--chunk-size", type=int, default=256)
-    ap.add_argument("--engines", default="mxu,culled,pallas")
+    ap.add_argument("--engines", default="mxu,culled,pallas3")
     args = ap.parse_args()
 
     import jax
@@ -71,7 +71,7 @@ def main():
 
     results = {}
     for engine in args.engines.split(","):
-        kw = {"ray_block": 2048} if engine != "pallas" else {"ray_block": 2048}
+        kw = {"ray_block": 2048}
 
         @jax.jit
         def run(dd, engine=engine, kw=kw):

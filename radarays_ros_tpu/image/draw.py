@@ -86,7 +86,7 @@ def _rowwise_bin_max(cell, s, ok, n_cells: int):
 
 def draw_signals(times, strengths, valid, *, n_cells: int, resolution,
                  denoise_weights=None, denoise_mode: int = 0,
-                 method: str = "scatter"):
+                 method: str = "auto"):
     """Draw per-azimuth signal lists into an (A, n_cells) float image.
 
     Args:
@@ -98,12 +98,15 @@ def draw_signals(times, strengths, valid, *, n_cells: int, resolution,
       method:    "scatter" (XLA scatter binning), "sort" (sort + cumsum +
                  searchsorted) or "pallas" (one-hot accumulate kernel,
                  image/pallas_draw.py) — identical results, different TPU
-                 cost profiles.
+                 cost profiles. "auto" = "pallas" on TPU (the measured-fast
+                 path, docs/PERFORMANCE.md), "scatter" elsewhere.
 
     Returns (image (A, n_cells) float32, max_val (A,)) where max_val is the
     per-column maximum BEFORE any energy_max scaling, matching the running
     max of RadarCPU.cpp:404-448.
     """
+    if method == "auto":
+        method = "pallas" if jax.default_backend() == "tpu" else "scatter"
     A, N = times.shape
     cell = bin_cells(times, resolution)
     ok = valid & (cell >= 0) & (cell < n_cells)

@@ -321,9 +321,9 @@ def _common(p: argparse.ArgumentParser):
     p.add_argument("--scene-config", help="materials YAML (reference format)")
     p.add_argument("--preset", help="dyncfg preset YAML")
     p.add_argument("--engine",
-                   choices=["brute", "mxu", "culled", "pallas", "pallas2",
-                            "pallas3"],
-                   help="trace engine override")
+                   choices=["auto", "brute", "mxu", "culled", "pallas3"],
+                   help="trace engine override (auto = pallas3 on TPU, "
+                        "culled elsewhere)")
     p.add_argument("--chunk-size", type=int, default=256)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--traj", help="TUM trajectory file")

@@ -140,11 +140,11 @@ class RadarModelConfig:
     include_motion: bool = False
 
     # --- radar geometry (Radar.cpp:27-32) + engine knobs (TPU-specific).
-    # Production-TPU tuning (bench.py, docs/PERFORMANCE.md): trace_engine
-    # "pallas3" (ordered sweep + early termination + HBM DMA — fastest at
-    # every measured scale), trace_ray_block 2048, draw_method "pallas";
-    # opaque_materials auto-set by Radar when the material table proves it
-    # exact. Defaults here favor portability (pure-XLA paths run everywhere).
+    # "auto" resolves per backend to the tuned production path — trace
+    # engine "pallas3" + draw "pallas" on TPU, "culled" + "scatter"
+    # elsewhere (docs/PERFORMANCE.md) — so the quickstart hits the fast path
+    # unmodified. opaque_materials is auto-set by Radar when the material
+    # table proves it exact.
     n_angles: int = 400
     material_id_air: int = 0
     wave_energy_threshold: float = 0.001           # Radar.cpp:24
@@ -152,10 +152,9 @@ class RadarModelConfig:
     reflection_model: str = "blinn_phong"          # or "cook_torrance" (dev/flex)
     opaque_materials: bool = False                 # all velocities 0: drop the
     #   (provably dead) refraction branch, halving wave growth per bounce
-    draw_method: str = "scatter"                   # scatter | sort (image/draw.py)
-    trace_engine: str = "mxu"                      # brute | mxu | culled | pallas
+    draw_method: str = "auto"                      # auto | scatter | sort | pallas
+    trace_engine: str = "auto"                     # auto | brute | mxu | culled | pallas3
     trace_ray_block: int = 2048
-    trace_group: int = 1                           # pallas: chunks per grid cell
     trace_tri_chunk: int = 2048
     trace_k_chunks: Optional[int] = None
 

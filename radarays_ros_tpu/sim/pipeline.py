@@ -87,15 +87,37 @@ def _bounce(cfg: RadarModelConfig, params: RadarParams, scene: SceneArrays,
     """
     A, N = waves.batch_shape
 
+    from radarays_ros_tpu.trace.api import resolve_engine
+
+    # Per-ray trace budget: the polar image only covers n_cells*resolution
+    # meters of one-way signal distance (cell = 0.3*t/2/res, out-of-range
+    # cells dropped, image/draw.py), and travel time only grows — so a hit
+    # whose arrival time is already past the image limit can contribute
+    # nothing, nor can any of its descendants. Clamping the trace there is
+    # EXACT w.r.t. the final image and is the dominant large-scene win: the
+    # sweep radius becomes the image range (~200 m for the KAIST preset)
+    # instead of t_max (1000 m), shrinking chunk visits quadratically.
+    # (The reference traces its full OnDn range [0,1000] and drops the
+    # out-of-image signals in binning, RadarCPU.cpp:410-413.)
+    weights, mode = cfg.denoiser()
+    slack = 0 if weights is None else len(weights)  # splat reach, in cells
+    t_lim = (cfg.n_cells + slack) * cfg.resolution / 0.3   # max arrival [ns]
+    if cfg.record_multi_path:
+        # the multipath air return travels hit->sensor directly, which can
+        # be arbitrarily short — only time*1 (not *2) bounds its signal
+        t_lim = 2.0 * t_lim
+    budget = jnp.maximum(t_lim - waves.time, 0.0) * waves.velocity
+
+    engine = resolve_engine(cfg.trace_engine)
     res = trace(
         scene, waves.orig, waves.dir,
-        engine=cfg.trace_engine,
+        engine=engine,
         t_min=0.0,
         t_max=1000.0,
+        t_budget=budget,
         ray_block=cfg.trace_ray_block,
-        **({"tri_chunk": cfg.trace_tri_chunk} if cfg.trace_engine == "mxu" else {}),
-        **({"group": cfg.trace_group} if cfg.trace_engine == "pallas" else {}),
-        **({"k_chunks": cfg.trace_k_chunks} if cfg.trace_engine in ("culled", "pallas") else {}),
+        **({"tri_chunk": cfg.trace_tri_chunk} if engine == "mxu" else {}),
+        **({"k_chunks": cfg.trace_k_chunks} if engine == "culled" else {}),
     )
 
     alive = waves.valid & res.hit

@@ -7,20 +7,27 @@ arbitrary per-ray origins + directions, return for each ray whether it hit,
 the hit distance, the surface normal and the object id of the nearest
 triangle.
 
-Engines:
+Engines (each survivor has a distinct job):
   * "brute"  — vmapped Moller-Trumbore over all triangles (trace/intersect.py).
-               Correctness oracle; fine for small scenes.
-  * "mxu"    — plane-equation intersection as two dense matmuls
-               (trace/planes.py). The default: puts ray casting on the MXU.
-  * "culled" — chunk-AABB culled variant of "mxu" (trace/planes.py): only the
-               top-K Morton chunks whose AABB a ray block can hit are tested.
-  * "pallas" — Pallas kernel with per-block chunk skipping
-               (trace/pallas_trace.py); the default production engine.
-  * "pallas2" — experimental Pallas variant with the chunk sweep inside the
-               kernel and scene planes VMEM-resident (trace/pallas_trace.py).
-  * "pallas3" — the production engine: front-to-back chunk sweep with early
-               termination and double-buffered HBM->VMEM plane DMA; fastest
-               at every measured scale (trace/pallas_trace.py).
+               The correctness ORACLE every other engine is parity-tested
+               against; shares no code with the plane-form engines.
+  * "mxu"    — plane-equation intersection as two dense matmuls over ALL
+               triangle chunks (trace/planes.py). The simple exact MXU
+               formulation; baseline for the culled variants and the fastest
+               choice for tiny scenes (no culling overhead).
+  * "culled" — ordered chunk sweep with early termination, pure XLA
+               (trace/planes.py). The portable correctness model of the
+               pallas3 traversal (same criterion, lax.while_loop of XLA
+               dispatches) and the fast engine on non-TPU backends.
+  * "pallas3" — the production TPU engine: front-to-back chunk sweep with
+               per-lane early termination and double-buffered HBM->VMEM
+               plane DMA (trace/pallas_trace.py); fastest at every measured
+               scale on TPU.
+  * "auto"   — resolve per backend: "pallas3" on TPU, "culled" elsewhere
+               (Pallas interpret mode is far slower than XLA on CPU).
+
+Round-1 engines "pallas" (v1) and "pallas2" were retired in round 2:
+superseded by pallas3 at every measured scale (docs/PERFORMANCE.md).
 
 All engines consume the same SceneArrays and return identical TraceResult
 structures; parity is asserted in tests/test_trace.py.
@@ -30,7 +37,10 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
+
+ENGINES = ("auto", "brute", "mxu", "culled", "pallas3")
 
 
 class TraceResult(NamedTuple):
@@ -40,11 +50,33 @@ class TraceResult(NamedTuple):
     obj_id: jnp.ndarray   # (...,) int32 object id (INVALID sentinel on miss)
 
 
-def trace(scene_arrays, origs, dirs, engine: str = "mxu", **kwargs) -> TraceResult:
-    """Trace rays against the scene; origs/dirs shaped (..., 3)."""
+def resolve_engine(engine: str) -> str:
+    """Resolve "auto" to the fast engine for the current backend."""
+    if engine == "auto":
+        return "pallas3" if jax.default_backend() == "tpu" else "culled"
+    return engine
+
+
+def trace(scene_arrays, origs, dirs, engine: str = "auto", t_budget=None,
+          **kwargs) -> TraceResult:
+    """Trace rays against the scene; origs/dirs shaped (..., 3).
+
+    t_budget: optional per-ray maximum hit distance, shaped like
+    origs[..., 0]. A hit beyond a ray's budget is reported as a MISS (for
+    every engine identically). The culled/pallas3 engines additionally use
+    the budget to PRUNE their chunk sweeps — chunks a ray can only enter
+    beyond its budget never count toward its sweep — which is exact: any
+    triangle within budget lies in a chunk whose entry distance is within
+    budget. The simulation pipeline derives budgets from the remaining
+    polar-image range (sim/pipeline.py:_bounce), the dominant large-scene
+    optimization.
+    """
     batch_shape = origs.shape[:-1]
     o = origs.reshape(-1, 3)
     d = dirs.reshape(-1, 3)
+    b = None if t_budget is None else \
+        jnp.asarray(t_budget, jnp.float32).reshape(-1)
+    engine = resolve_engine(engine)
     if engine == "brute":
         from radarays_ros_tpu.trace.intersect import trace_brute
         res = trace_brute(scene_arrays, o, d, **kwargs)
@@ -53,18 +85,25 @@ def trace(scene_arrays, origs, dirs, engine: str = "mxu", **kwargs) -> TraceResu
         res = trace_planes(scene_arrays, o, d, **kwargs)
     elif engine == "culled":
         from radarays_ros_tpu.trace.planes import trace_planes_culled
-        res = trace_planes_culled(scene_arrays, o, d, **kwargs)
-    elif engine == "pallas":
-        from radarays_ros_tpu.trace.pallas_trace import trace_pallas
-        res = trace_pallas(scene_arrays, o, d, **kwargs)
-    elif engine == "pallas2":
-        from radarays_ros_tpu.trace.pallas_trace import trace_pallas_v2
-        res = trace_pallas_v2(scene_arrays, o, d, **kwargs)
+        res = trace_planes_culled(scene_arrays, o, d, t_budget=b, **kwargs)
     elif engine == "pallas3":
         from radarays_ros_tpu.trace.pallas_trace import trace_pallas_v3
-        res = trace_pallas_v3(scene_arrays, o, d, **kwargs)
+        res = trace_pallas_v3(scene_arrays, o, d, t_budget=b, **kwargs)
     else:
         raise ValueError(f"unknown trace engine {engine!r}")
+    if b is not None:
+        # uniform budget contract across engines: nearest-hit-beyond-budget
+        # is a miss. (If the nearest hit is beyond budget, no hit is within
+        # it — every farther one is too — so masking the nearest is exact.)
+        from radarays_ros_tpu.geom.scene import INVALID_OBJ_ID
+
+        ok = res.hit & (res.t <= b)
+        res = TraceResult(
+            hit=ok,
+            t=jnp.where(ok, res.t, jnp.inf),
+            normal=jnp.where(ok[:, None], res.normal, 0.0),
+            obj_id=jnp.where(ok, res.obj_id, INVALID_OBJ_ID),
+        )
     return TraceResult(
         hit=res.hit.reshape(batch_shape),
         t=res.t.reshape(batch_shape),

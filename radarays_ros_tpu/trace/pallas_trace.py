@@ -1,40 +1,34 @@
-"""Pallas TPU tracer: chunked plane-test ray casting with AABB chunk skipping.
+"""Pallas TPU tracer ("pallas3"): ordered chunk sweep with early termination.
 
-The third (and fastest-path) implementation of rmagine's OnDn simulate
-contract (Bundle<Hits, Ranges, Normals, ObjectIds>, RadarCPU.cpp:222-236),
-after "brute" and the XLA "mxu"/"culled" engines (trace/planes.py). Same
-plane-equation intersection math (geom/scene.py:_triangle_planes), but as a
-hand-scheduled Pallas kernel:
+The production implementation of rmagine's OnDn simulate contract
+(Bundle<Hits, Ranges, Normals, ObjectIds>, RadarCPU.cpp:222-236), on top of
+the same plane-equation intersection math as the XLA "mxu"/"culled" engines
+(geom/scene.py:_triangle_planes). The kernel is the TPU-shaped analog of a
+BVH traversal:
 
-  * Grid = (ray_blocks, chunk_groups); each cell statically loops `group`
-    chunks (amortizing Mosaic grid overhead) and the running
-    (best_t, best_idx) output block is indexed by ray block only, so it
-    lives in VMEM across the whole chunk sweep (the classic
-    matmul-accumulator pattern).
   * Rays ride the LANE axis: the kernel computes SO = PO_chunk @ o_aug^T and
     SD = PD_chunk @ d_aug^T as (4*Tc, 4) x (4, RB) MXU matmuls, so every
     reduction (nearest-hit min/argmin) is a sublane reduction onto the
     (1, RB) accumulator — no transposes anywhere.
-  * A per-(ray block, chunk) skip mask — ray-slab tests against the Morton
-    chunk AABBs, computed in XLA before the kernel — sits in SMEM; `@pl.when`
-    skips the matmuls for chunks no ray in the block can hit. Morton-ordered
-    chunks (geom/scene.py:device_arrays) make this mask sparse for real
-    scenes.
+  * Per ray block, Morton chunks are ranked front-to-back by slab-entry
+    distance (XLA prep); the in-kernel `lax.while_loop` sweep stops once no
+    active lane's best hit can be beaten by any remaining chunk — the BVH
+    termination criterion, applied block-wide with per-lane overlap
+    exhaustion (sky rays stop vetoing termination).
+  * Plane slabs stream from HBM through double-buffered `make_async_copy`
+    DMA, so scene size is bounded by HBM (~multi-million triangles), not
+    VMEM.
 
-Exactness: unlike trace_planes_culled's top-K heuristic, the skip mask is
-conservative (pure slab test), so trace_pallas is EXACT — parity with
-"brute" is asserted in tests/test_trace.py.
+Exactness: the slab test and the termination criterion are conservative, so
+the engine is EXACT — parity with the "brute" oracle is asserted in
+tests/test_trace.py, including blocks mixing hitting/sky/padding rays.
 
 On non-TPU backends the kernel runs in Pallas interpret mode (tests).
 
-Measured (checksum-fenced, one v5e chip): the tuned-preset frame runs at
-~16.6 ms on-device with this engine; "pallas" beats "culled" ~10x
-end-to-end (docs/PERFORMANCE.md, incl. scene-size scaling to 1M triangles).
-
-The skip mask is bit-packed (32 chunks per int32 word) so its SMEM
-footprint is ray_blocks * chunks / 32 words — fine up to multi-million
-triangle scenes. Round-2 work: hierarchical culling for the chunk-visit
-count itself.
+History: two earlier kernels — v1 ("pallas", grid = blocks x chunks with an
+SMEM skip mask) and v2 (whole scene VMEM-resident, capped ~40k triangles) —
+were retired in round 2 after pallas3 beat them at every measured scale
+(docs/PERFORMANCE.md).
 """
 
 from __future__ import annotations
@@ -52,330 +46,7 @@ _INSIDE_EPS = 1e-5  # meters (edge planes are unit-normalized); planes.py:33
 _BIG_IDX = 2**30  # python literal: jnp constants would be captured by the kernel
 
 
-def _trace_kernel(mask_ref, o_ref, d_ref, po_ref, pd_ref,
-                  best_t_ref, best_idx_ref, *, tc: int, group: int,
-                  t_min: float, t_max: float):
-    """One (ray block, triangle chunk) cell of the trace grid.
-
-    o_ref/d_ref: (1, 4, RB) homogeneous ray origins [x y z 1] / dirs [x y z 0].
-    po_ref/pd_ref: (1, 4*Tc, 4) plane rows for this chunk, grouped
-      [support | edge0 | edge1 | edge2] x Tc (dir rows lane-padded to 4).
-    best_t_ref/best_idx_ref: (1, 1, RB) accumulators, persistent across
-      chunks (3-D so the block's trailing dims are (1, RB) with the 1 equal
-      to the array dim — the TPU (8, 128) tiling rule).
-    """
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-
-    @pl.when(j == 0)
-    def _init():
-        best_t_ref[:] = jnp.full(best_t_ref.shape, jnp.inf, jnp.float32)
-        best_idx_ref[:] = jnp.zeros(best_idx_ref.shape, jnp.int32)
-
-    # this grid cell covers chunks [j*group, (j+1)*group); per-chunk skip
-    # stays fine-grained while Mosaic grid overhead is amortized `group`-fold.
-    # the mask is bit-packed 32 chunks/word so it fits SMEM for huge scenes
-    for g in range(group):
-        jj = j * group + g
-        @pl.when((mask_ref[i, jj // 32] >> (jj % 32)) & 1 != 0)
-        def _compute(g=g):
-            po = po_ref[0, g * 4 * tc:(g + 1) * 4 * tc, :]
-            pd = pd_ref[0, g * 4 * tc:(g + 1) * 4 * tc, :]
-            so = jnp.dot(po, o_ref[0], preferred_element_type=jnp.float32)
-            sd = jnp.dot(pd, d_ref[0], preferred_element_type=jnp.float32)
-            # plane row group occupies sublanes [k*Tc, (k+1)*Tc)
-            so_s, sd_s = so[0:tc], sd[0:tc]
-            denom_ok = jnp.abs(sd_s) > _DIR_EPS
-            t = -so_s / jnp.where(denom_ok, sd_s, 1.0)
-            inside = (
-                (so[tc:2 * tc] + t * sd[tc:2 * tc] >= -_INSIDE_EPS)
-                & (so[2 * tc:3 * tc] + t * sd[2 * tc:3 * tc] >= -_INSIDE_EPS)
-                & (so[3 * tc:4 * tc] + t * sd[3 * tc:4 * tc] >= -_INSIDE_EPS)
-            )
-            hit = denom_ok & inside & (t >= t_min) & (t <= t_max)
-            t_masked = jnp.where(hit, t, jnp.inf)             # (Tc, RB)
-
-            local_t = jnp.min(t_masked, axis=0, keepdims=True)  # (1, RB)
-            rows = jax.lax.broadcasted_iota(jnp.int32, t_masked.shape, 0)
-            local_i = jnp.min(
-                jnp.where(t_masked == local_t, rows, _BIG_IDX),
-                axis=0, keepdims=True)
-            better = local_t[None] < best_t_ref[:]
-            best_t_ref[:] = jnp.where(better, local_t[None], best_t_ref[:])
-            best_idx_ref[:] = jnp.where(
-                better, ((j * group + g) * tc + local_i)[None],
-                best_idx_ref[:])
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("chunk_size", "ray_block", "group", "t_min", "t_max",
-                     "interpret"),
-)
-def _trace_pallas_impl(planes_o, planes_d, chunk_lo, chunk_hi, origs, dirs, *,
-                       chunk_size: int, ray_block: int, group: int,
-                       t_min: float, t_max: float, interpret: bool):
-    tc = chunk_size
-    C = planes_o.shape[0] // (4 * tc)
-    # pad the chunk axis to a multiple of `group` with never-hit chunks
-    pad_c = (-C) % group
-    if pad_c:
-        planes_o = jnp.concatenate(
-            [planes_o, jnp.zeros((pad_c * 4 * tc, 4), jnp.float32)], axis=0)
-        planes_d = jnp.concatenate(
-            [planes_d, jnp.zeros((pad_c * 4 * tc, 4) if planes_d.shape[1] == 4
-                                 else (pad_c * 4 * tc, 3), jnp.float32)],
-            axis=0)
-        far = jnp.full((pad_c, 3), 1e9, jnp.float32)
-        chunk_lo = jnp.concatenate([chunk_lo, far], axis=0)
-        chunk_hi = jnp.concatenate([chunk_hi, far], axis=0)
-        C += pad_c
-    R = origs.shape[0]
-    RB = ray_block
-    pad = (-R) % RB
-    o = jnp.concatenate([origs, jnp.zeros((pad, 3), jnp.float32)], axis=0)
-    d = jnp.concatenate([dirs, jnp.ones((pad, 3), jnp.float32)], axis=0)
-    n_blocks = o.shape[0] // RB
-
-    # homogeneous transposed ray layout: rays on the lane axis
-    ones = jnp.ones((o.shape[0], 1), jnp.float32)
-    zeros = jnp.zeros((o.shape[0], 1), jnp.float32)
-    o_aug = jnp.concatenate([o, ones], axis=-1).reshape(n_blocks, RB, 4)
-    o_aug = o_aug.transpose(0, 2, 1)                      # (B, 4, RB)
-    d_aug = jnp.concatenate([d, zeros], axis=-1).reshape(n_blocks, RB, 4)
-    d_aug = d_aug.transpose(0, 2, 1)
-
-    # grouped plane layout: (C, 4*Tc, 4) rows [support | e0 | e1 | e2]
-    po = planes_o.reshape(C, tc, 4, 4).transpose(0, 2, 1, 3).reshape(
-        C // group, group * 4 * tc, 4)
-    pd_rows = planes_d.reshape(C, tc, 4, 3).transpose(0, 2, 1, 3)
-    pd = jnp.concatenate(
-        [pd_rows, jnp.zeros((C, 4, tc, 1), jnp.float32)], axis=-1
-    ).reshape(C // group, group * 4 * tc, 4)
-
-    # conservative chunk-skip mask: slab test per ray block (XLA, cheap),
-    # bit-packed 32 chunks per int32 word to bound the SMEM footprint
-    inv_d = 1.0 / jnp.where(jnp.abs(d) > _DIR_EPS, d,
-                            jnp.where(d >= 0, _DIR_EPS, -_DIR_EPS))
-    _, overlap = _ray_aabb(o, inv_d, chunk_lo, chunk_hi)   # (B*RB, C)
-    mask = overlap.reshape(n_blocks, RB, C).any(axis=1)
-    pad_w = (-C) % 32
-    if pad_w:
-        mask = jnp.concatenate(
-            [mask, jnp.zeros((n_blocks, pad_w), bool)], axis=1)
-    shifts = jnp.left_shift(
-        jnp.uint32(1), jnp.arange(32, dtype=jnp.uint32))[None, None, :]
-    mask = jnp.sum(
-        mask.reshape(n_blocks, -1, 32).astype(jnp.uint32) * shifts,
-        axis=-1).astype(jnp.int32)                          # (B, ceil(C/32))
-
-    kernel = functools.partial(
-        _trace_kernel, tc=tc, group=group,
-        t_min=float(t_min), t_max=float(t_max))
-
-    best_t, best_idx = pl.pallas_call(
-        kernel,
-        grid=(n_blocks, C // group),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # full (B, C) skip mask
-            pl.BlockSpec((1, 4, RB), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, RB), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, group * 4 * tc, 4), lambda i, j: (j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, group * 4 * tc, 4), lambda i, j: (j, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, RB), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, RB), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((n_blocks, 1, RB), jnp.float32),
-            jax.ShapeDtypeStruct((n_blocks, 1, RB), jnp.int32),
-        ],
-        interpret=interpret,
-    )(mask, o_aug, d_aug, po, pd)
-
-    return best_t.reshape(-1)[:R], best_idx.reshape(-1)[:R]
-
-
-def trace_pallas(scene, origs, dirs, t_min: float = 0.0, t_max: float = 1000.0,
-                 ray_block: int = 512, group: int = 4,
-                 interpret: bool | None = None, **_ignored):
-    """Exact Pallas-kernel trace (see module docstring).
-
-    ray_block must be a multiple of 128 (lane width); the scene's chunk_size
-    must be a multiple of 8 (f32 sublane tile).
-    """
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    # derive from static shapes — scene.chunk_size is a pytree leaf and is
-    # traced (non-concrete) when this runs under jit
-    chunk_size = scene.verts.shape[0] // scene.chunk_aabb_lo.shape[0]
-    if chunk_size % 8 != 0:
-        raise ValueError(
-            f"pallas trace needs chunk_size % 8 == 0, got {chunk_size}")
-    if ray_block % 128 != 0:
-        raise ValueError(f"ray_block must be a multiple of 128, got {ray_block}")
-    best_t, best_idx = _trace_pallas_impl(
-        jnp.asarray(scene.planes_o), jnp.asarray(scene.planes_d),
-        jnp.asarray(scene.chunk_aabb_lo), jnp.asarray(scene.chunk_aabb_hi),
-        jnp.asarray(origs), jnp.asarray(dirs),
-        chunk_size=chunk_size, ray_block=ray_block, group=group,
-        t_min=t_min, t_max=t_max, interpret=interpret,
-    )
-    return _finalize(scene, origs, dirs, best_idx, best_t)
-
-
-def _trace_kernel_v2(mask_ref, o_ref, d_ref, po_ref, pd_ref,
-                     best_t_ref, best_idx_ref, *, tc: int, n_chunks: int,
-                     t_min: float, t_max: float):
-    """v2: one grid step per ray block; the chunk sweep is an in-kernel loop.
-
-    The whole scene's grouped plane tensors live in VMEM across all grid
-    steps (few MB for ~30k triangles), so chunk skipping costs one masked
-    branch instead of a Mosaic grid iteration — the per-grid-cell overhead of
-    the v1 (blocks x chunks) grid dominated its runtime for real scenes.
-    """
-    i = pl.program_id(0)
-
-    best_t_ref[:] = jnp.full(best_t_ref.shape, jnp.inf, jnp.float32)
-    best_idx_ref[:] = jnp.zeros(best_idx_ref.shape, jnp.int32)
-
-    o = o_ref[0]
-    d = d_ref[0]
-
-    def chunk_body(j, _):
-        @pl.when(mask_ref[i, j] != 0)
-        def _compute():
-            po = po_ref[pl.ds(j * 4 * tc, 4 * tc), :]
-            pd = pd_ref[pl.ds(j * 4 * tc, 4 * tc), :]
-            so = jnp.dot(po, o, preferred_element_type=jnp.float32)
-            sd = jnp.dot(pd, d, preferred_element_type=jnp.float32)
-            so_s, sd_s = so[0:tc], sd[0:tc]
-            denom_ok = jnp.abs(sd_s) > _DIR_EPS
-            t = -so_s / jnp.where(denom_ok, sd_s, 1.0)
-            inside = (
-                (so[tc:2 * tc] + t * sd[tc:2 * tc] >= -_INSIDE_EPS)
-                & (so[2 * tc:3 * tc] + t * sd[2 * tc:3 * tc] >= -_INSIDE_EPS)
-                & (so[3 * tc:4 * tc] + t * sd[3 * tc:4 * tc] >= -_INSIDE_EPS)
-            )
-            hit = denom_ok & inside & (t >= t_min) & (t <= t_max)
-            t_masked = jnp.where(hit, t, jnp.inf)             # (Tc, RB)
-            local_t = jnp.min(t_masked, axis=0, keepdims=True)
-            rows = jax.lax.broadcasted_iota(jnp.int32, t_masked.shape, 0)
-            local_i = jnp.min(
-                jnp.where(t_masked == local_t, rows, _BIG_IDX),
-                axis=0, keepdims=True)
-            better = local_t[None] < best_t_ref[:]
-            best_t_ref[:] = jnp.where(better, local_t[None], best_t_ref[:])
-            best_idx_ref[:] = jnp.where(
-                better, (j * tc + local_i)[None], best_idx_ref[:])
-        return 0
-
-    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("chunk_size", "ray_block", "t_min", "t_max", "interpret"),
-)
-def _trace_pallas_v2_impl(planes_o, planes_d, chunk_lo, chunk_hi, origs, dirs,
-                          *, chunk_size: int, ray_block: int, t_min: float,
-                          t_max: float, interpret: bool):
-    tc = chunk_size
-    C = planes_o.shape[0] // (4 * tc)
-    R = origs.shape[0]
-    RB = ray_block
-    pad = (-R) % RB
-    o = jnp.concatenate([origs, jnp.zeros((pad, 3), jnp.float32)], axis=0)
-    d = jnp.concatenate([dirs, jnp.ones((pad, 3), jnp.float32)], axis=0)
-    n_blocks = o.shape[0] // RB
-
-    ones = jnp.ones((o.shape[0], 1), jnp.float32)
-    zeros = jnp.zeros((o.shape[0], 1), jnp.float32)
-    o_aug = jnp.concatenate([o, ones], axis=-1).reshape(n_blocks, RB, 4)
-    o_aug = o_aug.transpose(0, 2, 1)
-    d_aug = jnp.concatenate([d, zeros], axis=-1).reshape(n_blocks, RB, 4)
-    d_aug = d_aug.transpose(0, 2, 1)
-
-    po = planes_o.reshape(C, tc, 4, 4).transpose(0, 2, 1, 3).reshape(C * 4 * tc, 4)
-    pd_rows = planes_d.reshape(C, tc, 4, 3).transpose(0, 2, 1, 3)
-    pd = jnp.concatenate(
-        [pd_rows, jnp.zeros((C, 4, tc, 1), jnp.float32)], axis=-1
-    ).reshape(C * 4 * tc, 4)
-
-    inv_d = 1.0 / jnp.where(jnp.abs(d) > _DIR_EPS, d,
-                            jnp.where(d >= 0, _DIR_EPS, -_DIR_EPS))
-    _, overlap = _ray_aabb(o, inv_d, chunk_lo, chunk_hi)
-    mask = overlap.reshape(n_blocks, RB, C).any(axis=1).astype(jnp.int32)
-
-    kernel = functools.partial(
-        _trace_kernel_v2, tc=tc, n_chunks=C,
-        t_min=float(t_min), t_max=float(t_max))
-
-    best_t, best_idx = pl.pallas_call(
-        kernel,
-        grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),        # (B, C) skip mask
-            pl.BlockSpec((1, 4, RB), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, RB), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            # whole-scene plane tensors, resident across all grid steps
-            pl.BlockSpec((C * 4 * tc, 4), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((C * 4 * tc, 4), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, RB), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, RB), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((n_blocks, 1, RB), jnp.float32),
-            jax.ShapeDtypeStruct((n_blocks, 1, RB), jnp.int32),
-        ],
-        interpret=interpret,
-    )(mask, o_aug, d_aug, po, pd)
-
-    return best_t.reshape(-1)[:R], best_idx.reshape(-1)[:R]
-
-
-def trace_pallas_v2(scene, origs, dirs, t_min: float = 0.0,
-                    t_max: float = 1000.0, ray_block: int = 512,
-                    interpret: bool | None = None, **_ignored):
-    """v2 Pallas trace: in-kernel chunk sweep, scene planes VMEM-resident.
-
-    Best for scenes whose plane tensors fit VMEM (~<= 40k triangles at
-    chunk 256); falls back conceptually to trace_pallas for larger scenes.
-    """
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    chunk_size = scene.verts.shape[0] // scene.chunk_aabb_lo.shape[0]
-    if chunk_size % 8 != 0:
-        raise ValueError(
-            f"pallas trace needs chunk_size % 8 == 0, got {chunk_size}")
-    if ray_block % 128 != 0:
-        raise ValueError(f"ray_block must be a multiple of 128, got {ray_block}")
-    best_t, best_idx = _trace_pallas_v2_impl(
-        jnp.asarray(scene.planes_o), jnp.asarray(scene.planes_d),
-        jnp.asarray(scene.chunk_aabb_lo), jnp.asarray(scene.chunk_aabb_hi),
-        jnp.asarray(origs), jnp.asarray(dirs),
-        chunk_size=chunk_size, ray_block=ray_block,
-        t_min=t_min, t_max=t_max, interpret=interpret,
-    )
-    return _finalize(scene, origs, dirs, best_idx, best_t)
-
-
-def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, o_ref, d_ref,
+def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, o_ref, d_ref, last_ref,
                      po_hbm, pd_hbm, best_t_ref, best_idx_ref,
                      order_ref, entry_ref, idx_sem,
                      po_buf, pd_buf, po_sem, pd_sem, *, tc: int,
@@ -384,11 +55,14 @@ def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, o_ref, d_ref,
 
     Per ray block, chunks are walked front-to-back (order_ref, ranked by the
     block's slab-entry distance); the sweep stops as soon as every ray's
-    best hit is closer than the nearest entry among the remaining chunks
-    (suffix_ref, the per-rank suffix-min of ranked entries) — the standard
-    BVH termination criterion, applied block-wide. Plane slabs stream from
-    HBM through double-buffered async copies, so scene size is bounded by
-    HBM, not VMEM.
+    best hit is closer than the nearest entry among the remaining chunks —
+    the standard BVH termination criterion, applied block-wide. The
+    termination max runs over ACTIVE lanes only: last_ref holds each lane's
+    last overlapped chunk rank, so rays that never hit anything (sky rays,
+    block padding) stop vetoing termination once their own overlap set is
+    exhausted — without this, one escaping ray forces the block to sweep
+    every overlapped chunk. Plane slabs stream from HBM through
+    double-buffered async copies, so scene size is bounded by HBM, not VMEM.
     """
     i = pl.program_id(0)
 
@@ -477,8 +151,12 @@ def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, o_ref, d_ref,
                                         best_idx_ref[:])
 
             # early termination: ranked entries are non-decreasing, so the
-            # next chunk's entry bounds every remaining chunk's entry
-            worst = jnp.max(best_t_ref[0, 0, :])
+            # next chunk's entry bounds every remaining chunk's entry. Only
+            # lanes with overlapped chunks left (rank <= last) participate:
+            # a lane past its last overlapped chunk can never improve, even
+            # if it never hit (best_t = inf).
+            active = last_ref[0, 0, :] >= k + 1
+            worst = jnp.max(jnp.where(active, best_t_ref[0, 0, :], -jnp.inf))
             done = entry_ref[(k + 1) // W, (k + 1) % W] > worst
             return k + 1, done
 
@@ -500,26 +178,28 @@ def _v3_callable(chunk_size: int, ray_block: int, t_min: float,
     (the HBM-resident plane/order tables) cannot be batched by vmap."""
 
     @jax.custom_batching.custom_vmap
-    def impl(planes_o, planes_d, chunk_lo, chunk_hi, origs, dirs):
+    def impl(planes_o, planes_d, chunk_lo, chunk_hi, origs, dirs, budget):
         return _trace_pallas_v3_impl(
-            planes_o, planes_d, chunk_lo, chunk_hi, origs, dirs,
+            planes_o, planes_d, chunk_lo, chunk_hi, origs, dirs, budget,
             chunk_size=chunk_size, ray_block=ray_block,
             t_min=t_min, t_max=t_max, interpret=interpret)
 
     @impl.def_vmap
     def _vmap_rule(axis_size, in_batched, planes_o, planes_d, chunk_lo,
-                   chunk_hi, origs, dirs):
-        po_b, pd_b, lo_b, hi_b, o_b, d_b = in_batched
+                   chunk_hi, origs, dirs, budget):
+        po_b, pd_b, lo_b, hi_b, o_b, d_b, b_b = in_batched
         if po_b or pd_b or lo_b or hi_b:
             raise NotImplementedError(
                 "pallas3 cannot batch over scenes; batch rays/poses only")
-        o = jnp.moveaxis(origs, 0, 0) if o_b else jnp.broadcast_to(
+        o = origs if o_b else jnp.broadcast_to(
             origs[None], (axis_size,) + origs.shape)
-        d = jnp.moveaxis(dirs, 0, 0) if d_b else jnp.broadcast_to(
+        d = dirs if d_b else jnp.broadcast_to(
             dirs[None], (axis_size,) + dirs.shape)
+        b = budget if b_b else jnp.broadcast_to(
+            budget[None], (axis_size,) + budget.shape)
         R = o.shape[1]
         t, idx = impl(planes_o, planes_d, chunk_lo, chunk_hi,
-                      o.reshape(-1, 3), d.reshape(-1, 3))
+                      o.reshape(-1, 3), d.reshape(-1, 3), b.reshape(-1))
         return (t.reshape(axis_size, R), idx.reshape(axis_size, R)),             (True, True)
 
     return impl
@@ -530,8 +210,8 @@ def _v3_callable(chunk_size: int, ray_block: int, t_min: float,
     static_argnames=("chunk_size", "ray_block", "t_min", "t_max", "interpret"),
 )
 def _trace_pallas_v3_impl(planes_o, planes_d, chunk_lo, chunk_hi, origs, dirs,
-                          *, chunk_size: int, ray_block: int, t_min: float,
-                          t_max: float, interpret: bool):
+                          budget, *, chunk_size: int, ray_block: int,
+                          t_min: float, t_max: float, interpret: bool):
     tc = chunk_size
     C = planes_o.shape[0] // (4 * tc)
     R = origs.shape[0]
@@ -539,6 +219,7 @@ def _trace_pallas_v3_impl(planes_o, planes_d, chunk_lo, chunk_hi, origs, dirs,
     pad = (-R) % RB
     o = jnp.concatenate([origs, jnp.zeros((pad, 3), jnp.float32)], axis=0)
     d = jnp.concatenate([dirs, jnp.ones((pad, 3), jnp.float32)], axis=0)
+    bud = jnp.concatenate([budget, jnp.zeros((pad,), jnp.float32)], axis=0)
     n_blocks = o.shape[0] // RB
 
     ones = jnp.ones((o.shape[0], 1), jnp.float32)
@@ -560,13 +241,28 @@ def _trace_pallas_v3_impl(planes_o, planes_d, chunk_lo, chunk_hi, origs, dirs,
     inv_d = 1.0 / jnp.where(jnp.abs(d) > _DIR_EPS, d,
                             jnp.where(d >= 0, _DIR_EPS, -_DIR_EPS))
     t_near, overlap = _ray_aabb(o, inv_d, chunk_lo, chunk_hi)  # (B*RB, C)
-    t_near = jnp.where(overlap & (t_near <= t_max),
+    # padding lanes [R:] are excluded up front: they contribute no entries
+    # (shorter sweeps) and carry lane_last = -1 (never veto termination).
+    # The per-ray budget prunes the same way: a chunk a ray only enters
+    # beyond its budget cannot hold a within-budget hit for it (the uniform
+    # miss-mask for beyond-budget nearest hits lives in trace/api.py).
+    lane_ok = (jnp.arange(o.shape[0]) < R)[:, None]
+    cap = jnp.minimum(jnp.float32(t_max), bud)[:, None]
+    t_near = jnp.where(lane_ok & overlap & (t_near <= cap),
                        jnp.maximum(t_near, 0.0), jnp.inf)
     entry = jnp.min(t_near.reshape(n_blocks, RB, C), axis=1)   # (B, C)
     order = jnp.argsort(entry, axis=1).astype(jnp.int32)       # (B, C)
     entry_ranked = jnp.take_along_axis(entry, order, axis=1)  # sorted asc
     nvisit = jnp.sum(jnp.isfinite(entry_ranked), axis=1,
                      keepdims=True).astype(jnp.int32)        # (B, 1)
+    # per-lane last overlapped rank: past it, a lane cannot improve — the
+    # in-kernel termination max skips such lanes even if they never hit
+    rank = jnp.argsort(order, axis=1).astype(jnp.int32)       # chunk -> rank
+    lane_last = jnp.max(
+        jnp.where(jnp.isfinite(t_near).reshape(n_blocks, RB, C),
+                  rank[:, None, :], -1),
+        axis=2).astype(jnp.int32)                             # (B, RB)
+    lane_last = lane_last.reshape(n_blocks, 1, RB)
     # pad the ranked tables so their (8, Cp/8) tile shape is aligned; the
     # entry padding is +inf so the termination test holds at k+1 == n == C
     Cp = ((C + 1 + 1023) // 1024) * 1024
@@ -591,6 +287,8 @@ def _trace_pallas_v3_impl(planes_o, planes_d, chunk_lo, chunk_hi, origs, dirs,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 4, RB), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, RB), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),   # lane_last
             pl.BlockSpec(memory_space=pltpu.HBM),    # po
             pl.BlockSpec(memory_space=pltpu.HBM),    # pd
         ],
@@ -614,19 +312,20 @@ def _trace_pallas_v3_impl(planes_o, planes_d, chunk_lo, chunk_hi, origs, dirs,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(nvisit, order, entry_pad, o_aug, d_aug, po, pd)
+    )(nvisit, order, entry_pad, o_aug, d_aug, lane_last, po, pd)
 
     return best_t.reshape(-1)[:R], best_idx.reshape(-1)[:R]
 
 
 def trace_pallas_v3(scene, origs, dirs, t_min: float = 0.0,
                     t_max: float = 1000.0, ray_block: int = 2048,
-                    interpret: bool | None = None, **_ignored):
+                    t_budget=None, interpret: bool | None = None, **_ignored):
     """v3 Pallas trace: front-to-back sweep + early termination + HBM DMA.
 
     The BVH-style engine for large scenes: chunk visits stop at the block's
     nearest hits instead of scanning every overlapped chunk. Exact (the
     termination criterion is conservative); parity-tested against brute.
+    t_budget: optional (R,) per-ray sweep cap (see trace/api.py).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -638,9 +337,12 @@ def trace_pallas_v3(scene, origs, dirs, t_min: float = 0.0,
         raise ValueError(f"ray_block must be a multiple of 128, got {ray_block}")
     impl = _v3_callable(chunk_size, ray_block, float(t_min), float(t_max),
                         interpret)
+    origs = jnp.asarray(origs)
+    budget = (jnp.full(origs.shape[:-1], t_max, jnp.float32)
+              if t_budget is None else jnp.asarray(t_budget, jnp.float32))
     best_t, best_idx = impl(
         jnp.asarray(scene.planes_o), jnp.asarray(scene.planes_d),
         jnp.asarray(scene.chunk_aabb_lo), jnp.asarray(scene.chunk_aabb_hi),
-        jnp.asarray(origs), jnp.asarray(dirs),
+        origs, jnp.asarray(dirs), budget,
     )
     return _finalize(scene, origs, dirs, best_idx, best_t)

@@ -166,7 +166,8 @@ def suggest_k(scene, fraction: float = 0.25, minimum: int = 8) -> int:
 
 def trace_planes_culled(scene, origs, dirs, t_min: float = 0.0,
                         t_max: float = 1000.0, ray_block: int = 1024,
-                        k_chunks: int | None = None) -> TraceResult:
+                        k_chunks: int | None = None,
+                        t_budget=None) -> TraceResult:
     """Ordered chunk sweep with early termination — an XLA-native "BVH-lite".
 
     Per block of `ray_block` rays:
@@ -200,14 +201,20 @@ def trace_planes_culled(scene, origs, dirs, t_min: float = 0.0,
 
     o, d, R = _pad_rays(origs, dirs, ray_block)
     n_blocks = o.shape[0] // ray_block
+    # per-ray sweep cap (pruning only; the uniform budget miss-mask is
+    # applied centrally in trace/api.py). Pad rays get budget 0.
+    bud = jnp.full((R,), t_max, jnp.float32) if t_budget is None \
+        else jnp.asarray(t_budget, jnp.float32)
+    bud = jnp.concatenate(
+        [bud, jnp.zeros((o.shape[0] - R,), jnp.float32)], axis=0)
 
     def block_body(ray_chunk):
-        ob, db = ray_chunk
+        ob, db, bb = ray_chunk
         RB = ob.shape[0]
         inv_d = 1.0 / jnp.where(jnp.abs(db) > _DIR_EPS, db,
                                 jnp.where(db >= 0, _DIR_EPS, -_DIR_EPS))
         t_near, overlap = _ray_aabb(ob, inv_d, lo, hi)          # (RB, C)
-        t_near = jnp.where(overlap & (t_near <= t_max),
+        t_near = jnp.where(overlap & (t_near <= jnp.minimum(t_max, bb[:, None])),
                            jnp.maximum(t_near, 0.0), jnp.inf)
         order = jnp.argsort(jnp.min(t_near, axis=0))            # (C,)
         entry_ranked = t_near[:, order]                         # (RB, C)
@@ -246,7 +253,8 @@ def trace_planes_culled(scene, origs, dirs, t_min: float = 0.0,
 
     o_blocks = o.reshape(n_blocks, ray_block, 3)
     d_blocks = d.reshape(n_blocks, ray_block, 3)
-    best_t, best_idx = jax.lax.map(block_body, (o_blocks, d_blocks))
+    b_blocks = bud.reshape(n_blocks, ray_block)
+    best_t, best_idx = jax.lax.map(block_body, (o_blocks, d_blocks, b_blocks))
     best_t = best_t.reshape(-1)[:R]
     best_idx = best_idx.reshape(-1)[:R]
     return _finalize(scene, origs, dirs, best_idx, best_t)

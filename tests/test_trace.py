@@ -108,17 +108,17 @@ def test_culled_sweep_exact_on_urban_fan(rng):
     np.testing.assert_array_equal(np.asarray(ref.obj_id), np.asarray(got.obj_id))
 
 
-def test_pallas_engine_parity(box_scene, rng):
-    """Pallas kernel (interpret mode on CPU) must match brute exactly."""
+def test_auto_engine_resolves_per_backend(box_scene):
+    """"auto" must resolve to the fast engine for the backend (culled on the
+    CPU test mesh) and trace like any explicit engine."""
+    from radarays_ros_tpu.trace.api import resolve_engine
+
+    assert resolve_engine("auto") in ("pallas3", "culled")
+    assert resolve_engine("mxu") == "mxu"
     sa = box_scene.device_arrays()
-    o, d = _rays_from_origin(300, rng)
-    ref = trace(sa, o, d, engine="brute")
-    got = trace(sa, o, d, engine="pallas", ray_block=128)
-    np.testing.assert_array_equal(np.asarray(ref.hit), np.asarray(got.hit))
-    hit = np.asarray(ref.hit)
-    np.testing.assert_allclose(np.asarray(ref.t)[hit], np.asarray(got.t)[hit],
-                               rtol=1e-4, atol=1e-4)
-    np.testing.assert_array_equal(np.asarray(ref.obj_id), np.asarray(got.obj_id))
+    res = trace(sa, jnp.zeros((4, 3)),
+                jnp.broadcast_to(jnp.array([1.0, 0, 0]), (4, 3)))
+    assert bool(res.hit[0])
 
 
 def test_rays_inside_closed_box_always_hit(box_scene, rng):
@@ -135,19 +135,6 @@ def test_batched_shape_passthrough(box_scene):
     res = trace(sa, o, d, engine="mxu")
     assert res.hit.shape == (4, 8)
     assert res.normal.shape == (4, 8, 3)
-
-
-def test_pallas_v2_engine_parity(box_scene, rng):
-    """v2 Pallas kernel (in-kernel chunk sweep) must match brute exactly."""
-    sa = box_scene.device_arrays()
-    o, d = _rays_from_origin(300, rng)
-    ref = trace(sa, o, d, engine="brute")
-    got = trace(sa, o, d, engine="pallas2", ray_block=128)
-    np.testing.assert_array_equal(np.asarray(ref.hit), np.asarray(got.hit))
-    hit = np.asarray(ref.hit)
-    np.testing.assert_allclose(np.asarray(ref.t)[hit], np.asarray(got.t)[hit],
-                               rtol=1e-4, atol=1e-4)
-    np.testing.assert_array_equal(np.asarray(ref.obj_id), np.asarray(got.obj_id))
 
 
 def test_pallas_v3_engine_parity(box_scene, rng):
@@ -171,3 +158,73 @@ def test_pallas_v3_engine_parity(box_scene, rng):
                                        ray_block=128).t)(ov, dv)
     np.testing.assert_allclose(np.asarray(tv[0])[hit],
                                np.asarray(ref.t)[hit], rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("engine", ["brute", "mxu", "culled", "pallas3"])
+def test_per_ray_budget_contract(engine, rng):
+    """trace(t_budget=b) must equal the unbudgeted trace post-masked to
+    misses where t > b, for EVERY engine — including culled/pallas3 whose
+    sweeps are additionally pruned by the budget."""
+    from radarays_ros_tpu.geom.primitives import make_urban_scene
+    from radarays_ros_tpu.geom.scene import INVALID_OBJ_ID
+
+    parts, names = make_urban_scene(n_buildings=24, extent=60.0, seed=3)
+    scene = Scene.compose(parts, names, chunk_size=16)
+    sa = scene.device_arrays()
+
+    n = 257
+    az = rng.uniform(0, 2 * np.pi, n)
+    el = rng.uniform(-0.1, 0.4, n)
+    d = np.stack([np.cos(el) * np.cos(az), np.cos(el) * np.sin(az),
+                  np.sin(el)], -1)
+    o = np.broadcast_to(np.array([0, 0, 2.0], np.float32), (n, 3))
+    o, d = jnp.asarray(o, jnp.float32), jnp.asarray(d, jnp.float32)
+    # budgets straddling typical hit distances (a margin away from any hit
+    # keeps the plane-t vs refined-t boundary jitter out of the comparison)
+    bud = jnp.asarray(rng.choice([5.0, 20.0, 75.0, 1000.0], n), jnp.float32)
+
+    kw = {"ray_block": 128} if engine != "brute" else {}
+    full = trace(sa, o, d, engine=engine, **kw)
+    got = trace(sa, o, d, engine=engine, t_budget=bud, **kw)
+
+    exp_hit = np.asarray(full.hit) & (np.asarray(full.t) <= np.asarray(bud))
+    np.testing.assert_array_equal(np.asarray(got.hit), exp_hit)
+    np.testing.assert_allclose(np.asarray(got.t)[exp_hit],
+                               np.asarray(full.t)[exp_hit], rtol=1e-6)
+    assert np.all(np.isinf(np.asarray(got.t)[~exp_hit]))
+    np.testing.assert_array_equal(
+        np.asarray(got.obj_id)[~exp_hit],
+        np.full((~exp_hit).sum(), INVALID_OBJ_ID))
+
+
+def test_pallas_v3_exact_with_escaping_rays(rng):
+    """Early termination with per-lane overlap exhaustion: blocks mixing
+    hitting rays, sky rays (never hit anything) and block padding (301 rays,
+    ray_block 128) must still be bit-exact against brute on an OPEN scene.
+    Sky lanes keep best_t = inf forever; the termination max must exclude
+    them once their own overlapped chunks are exhausted, not sweep forever
+    nor stop too early."""
+    from radarays_ros_tpu.geom.primitives import make_urban_scene
+
+    parts, names = make_urban_scene(n_buildings=24, extent=60.0, seed=3)
+    scene = Scene.compose(parts, names, chunk_size=16)
+    sa = scene.device_arrays()
+
+    n = 301  # deliberately not a multiple of the ray block
+    az = rng.uniform(0, 2 * np.pi, n)
+    el = np.where(rng.uniform(size=n) < 0.4,
+                  rng.uniform(0.3, 1.4, n),       # steep sky rays
+                  rng.uniform(-0.05, 0.05, n))    # near-horizontal rays
+    d = np.stack([np.cos(el) * np.cos(az), np.cos(el) * np.sin(az),
+                  np.sin(el)], -1)
+    o = np.broadcast_to(np.array([0, 0, 2.0], np.float32), (n, 3))
+    o, d = jnp.asarray(o, jnp.float32), jnp.asarray(d, jnp.float32)
+
+    ref = trace(sa, o, d, engine="brute")
+    got = trace(sa, o, d, engine="pallas3", ray_block=128)
+    hit = np.asarray(ref.hit)
+    assert hit.any() and not hit.all()  # both populations present
+    np.testing.assert_array_equal(hit, np.asarray(got.hit))
+    np.testing.assert_allclose(np.asarray(ref.t)[hit], np.asarray(got.t)[hit],
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(ref.obj_id), np.asarray(got.obj_id))
