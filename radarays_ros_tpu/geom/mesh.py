@@ -1,7 +1,9 @@
-"""Mesh file IO: PLY (ascii + binary_little_endian), OBJ, STL (ascii + binary).
+"""Mesh file IO: PLY (ascii + binary_little_endian), OBJ, STL (ascii +
+binary), and Collada DAE (triangle meshes + scene-node transforms).
 
-Replaces the reference's rmagine map import (radar_simulator.cpp:149,164 load
-PLY/DAE scene files via Embree/OptiX). Pure NumPy; no external mesh deps.
+Replaces the reference's rmagine map import (radar_simulator.cpp:149,164 —
+PLY for the MulRan maps, DAE for the oru indoor scenes,
+launch/tests/radar_sim_test.launch:6). Pure NumPy; no external mesh deps.
 
 OBJ object/group statements (`o`/`g`) split the mesh into objects, producing
 the per-triangle object ids that feed the `object_materials` lookup; PLY and
@@ -34,7 +36,10 @@ def load_mesh(path, chunk_size: int = 256) -> Scene:
         return _load_obj(path, chunk_size)
     if ext == ".stl":
         return _load_stl(path, chunk_size)
-    raise ValueError(f"unsupported mesh format: {ext} (supported: .ply .obj .stl)")
+    if ext == ".dae":
+        return _load_dae(path, chunk_size)
+    raise ValueError(
+        f"unsupported mesh format: {ext} (supported: .ply .obj .stl .dae)")
 
 
 # ---------------------------------------------------------------- PLY
@@ -258,6 +263,216 @@ def _load_stl(path: Path, chunk_size: int) -> Scene:
         rec = np.frombuffer(rest[4:4 + n * dt.itemsize], dt, n)
         verts = np.ascontiguousarray(rec["v"], np.float32)
     return Scene(verts, np.zeros(len(verts), np.int32), chunk_size=chunk_size)
+
+
+# ---------------------------------------------------------------- DAE
+
+def _dae_tag(el) -> str:
+    """Element tag with the COLLADA namespace stripped."""
+    return el.tag.rsplit("}", 1)[-1]
+
+
+def _dae_find_all(parent, tag):
+    return [el for el in parent.iter() if _dae_tag(el) == tag]
+
+
+def _dae_children(parent, tag):
+    return [el for el in parent if _dae_tag(el) == tag]
+
+
+def _dae_floats(text) -> np.ndarray:
+    return np.asarray((text or "").split(), np.float64)
+
+
+def _dae_geometry_triangles(geom) -> np.ndarray:
+    """(T, 3, 3) float64 triangle soup of one <geometry>, local coords.
+
+    Supports <triangles>, <polylist> and <polygons> primitives (fan
+    triangulation for polygons), resolving the VERTEX input through the
+    <vertices> POSITION indirection.
+    """
+    mesh = _dae_children(geom, "mesh")
+    if not mesh:
+        return np.zeros((0, 3, 3))
+    mesh = mesh[0]
+
+    sources = {}
+    for src in _dae_children(mesh, "source"):
+        arr = _dae_children(src, "float_array")
+        if arr:
+            acc = _dae_find_all(src, "accessor")
+            stride = int(acc[0].get("stride", 3)) if acc else 3
+            data = _dae_floats(arr[0].text)
+            sources["#" + src.get("id", "")] = data.reshape(-1, stride)[:, :3]
+
+    vertices = {}
+    for v in _dae_children(mesh, "vertices"):
+        for inp in _dae_children(v, "input"):
+            if inp.get("semantic") == "POSITION":
+                vertices["#" + v.get("id", "")] = sources.get(
+                    inp.get("source"), np.zeros((0, 3)))
+
+    tris = []
+    for prim in mesh:
+        kind = _dae_tag(prim)
+        if kind not in ("triangles", "polylist", "polygons"):
+            continue
+        inputs = _dae_children(prim, "input")
+        v_off, positions, stride = 0, None, 1
+        for inp in inputs:
+            off = int(inp.get("offset", 0))
+            stride = max(stride, off + 1)
+            if inp.get("semantic") == "VERTEX":
+                v_off = off
+                positions = vertices.get(inp.get("source"))
+                if positions is None:
+                    positions = sources.get(inp.get("source"))
+        if positions is None or not len(positions):
+            continue
+
+        def emit_polygon(idx):
+            # fan triangulation (same rule as the OBJ/PLY loaders)
+            for k in range(1, len(idx) - 1):
+                tris.append(positions[[idx[0], idx[k], idx[k + 1]]])
+
+        if kind == "polylist":
+            vcount = np.asarray(
+                (_dae_children(prim, "vcount")[0].text or "").split(), int)
+            p = np.asarray(
+                (_dae_children(prim, "p")[0].text or "").split(), int)
+            p = p.reshape(-1, stride)[:, v_off]
+            pos = 0
+            for n in vcount:
+                emit_polygon(p[pos:pos + n])
+                pos += n
+        else:
+            for p_el in _dae_children(prim, "p"):
+                p = np.asarray((p_el.text or "").split(), int)
+                p = p.reshape(-1, stride)[:, v_off]
+                if kind == "triangles":
+                    for i in range(0, len(p), 3):
+                        tris.append(positions[p[i:i + 3]])
+                else:  # <polygons>: one <p> per polygon
+                    emit_polygon(p)
+    if not tris:
+        return np.zeros((0, 3, 3))
+    return np.stack(tris)
+
+
+def _dae_node_transform(node) -> np.ndarray:
+    """Compose this node's transform elements in document order -> 4x4."""
+    M = np.eye(4)
+    for el in node:
+        tag = _dae_tag(el)
+        if tag == "matrix":
+            M = M @ _dae_floats(el.text).reshape(4, 4)
+        elif tag == "translate":
+            T = np.eye(4)
+            T[:3, 3] = _dae_floats(el.text)[:3]
+            M = M @ T
+        elif tag == "rotate":
+            x, y, z, deg = _dae_floats(el.text)[:4]
+            axis = np.array([x, y, z])
+            n = np.linalg.norm(axis)
+            if n > 0:
+                axis /= n
+                a = np.deg2rad(deg)
+                K = np.array([[0, -axis[2], axis[1]],
+                              [axis[2], 0, -axis[0]],
+                              [-axis[1], axis[0], 0]])
+                R4 = np.eye(4)
+                R4[:3, :3] = (np.eye(3) + np.sin(a) * K
+                              + (1 - np.cos(a)) * (K @ K))
+                M = M @ R4
+        elif tag == "scale":
+            S = np.eye(4)
+            S[[0, 1, 2], [0, 1, 2]] = _dae_floats(el.text)[:3]
+            M = M @ S
+    return M
+
+
+def _load_dae(path: Path, chunk_size: int) -> Scene:
+    """Minimal Collada (.dae) triangle-mesh import.
+
+    The reference's indoor workloads load DAE scenes through Assimp inside
+    rmagine (launch/tests/radar_sim_test.launch:6, ray_tracing_test.launch:5,
+    mro_husky.launch:4). This covers the mesh subset those scenes need:
+    library_geometries (triangles/polylist/polygons), the visual-scene node
+    hierarchy with matrix/translate/rotate/scale transforms and
+    instance_geometry/instance_node, the asset unit scale, and Y_UP/X_UP ->
+    Z_UP conversion. No materials/animation/skinning/cameras.
+
+    Each scene node instancing geometry becomes one object (its `name`
+    feeds the object_materials mapping); geometries never instanced by any
+    node load once with identity transform.
+    """
+    import xml.etree.ElementTree as ET
+
+    root = ET.parse(str(path)).getroot()
+    if _dae_tag(root) != "COLLADA":
+        raise ValueError(f"{path}: not a COLLADA document")
+
+    # asset: unit scale + up axis
+    unit = 1.0
+    up = "Z_UP"
+    for asset in _dae_children(root, "asset"):
+        for u in _dae_children(asset, "unit"):
+            unit = float(u.get("meter", "1"))
+        for ua in _dae_children(asset, "up_axis"):
+            up = (ua.text or "Z_UP").strip()
+
+    geoms = {}
+    for lib in _dae_children(root, "library_geometries"):
+        for geom in _dae_children(lib, "geometry"):
+            tris = _dae_geometry_triangles(geom)
+            geoms["#" + geom.get("id", "")] = (
+                tris, geom.get("name") or geom.get("id") or "geometry")
+
+    lib_nodes = {}
+    for lib in _dae_children(root, "library_nodes"):
+        for node in _dae_children(lib, "node"):
+            lib_nodes["#" + node.get("id", "")] = node
+
+    parts, names = [], []
+
+    def walk(node, M):
+        M = M @ _dae_node_transform(node)
+        for el in node:
+            tag = _dae_tag(el)
+            if tag == "instance_geometry":
+                tris, gname = geoms.get(el.get("url", ""), (None, None))
+                if tris is not None and len(tris):
+                    v = tris.reshape(-1, 3) @ M[:3, :3].T + M[:3, 3]
+                    parts.append(v.reshape(-1, 3, 3))
+                    names.append(node.get("name") or node.get("id") or gname)
+            elif tag == "instance_node":
+                target = lib_nodes.get(el.get("url", ""))
+                if target is not None:
+                    walk(target, M)
+            elif tag == "node":
+                walk(el, M)
+
+    for lib in _dae_children(root, "library_visual_scenes"):
+        for vs in _dae_children(lib, "visual_scene"):
+            for node in _dae_children(vs, "node"):
+                walk(node, np.eye(4))
+
+    if not parts:  # no visual scene: load all geometries at identity
+        for tris, gname in geoms.values():
+            if len(tris):
+                parts.append(tris)
+                names.append(gname)
+    if not parts:
+        raise ValueError(f"{path}: no triangle geometry found")
+
+    verts = np.concatenate(parts, axis=0) * unit
+    if up == "Y_UP":          # (x, y, z) -> (x, -z, y)
+        verts = verts[:, :, [0, 2, 1]] * np.array([1.0, -1.0, 1.0])
+    elif up == "X_UP":        # (x, y, z) -> (-z, y, x)
+        verts = verts[:, :, [2, 1, 0]] * np.array([-1.0, 1.0, 1.0])
+    obj_ids = np.concatenate(
+        [np.full(len(p), i, np.int32) for i, p in enumerate(parts)])
+    return Scene(verts.astype(np.float32), obj_ids, names, chunk_size)
 
 
 # ---------------------------------------------------------------- export

@@ -317,7 +317,8 @@ def cmd_eval(args) -> int:
 
 
 def _common(p: argparse.ArgumentParser):
-    p.add_argument("--mesh", required=True, help="scene mesh (.ply/.obj/.stl)")
+    p.add_argument("--mesh", required=True,
+                   help="scene mesh (.ply/.obj/.stl/.dae)")
     p.add_argument("--scene-config", help="materials YAML (reference format)")
     p.add_argument("--preset", help="dyncfg preset YAML")
     p.add_argument("--engine",

@@ -111,3 +111,129 @@ def test_stl_binary_loader(tmp_path):
             f.write(struct.pack("<H", 0))
     scene = load_mesh(path)
     np.testing.assert_allclose(scene.verts, tris, atol=1e-6)
+
+
+_DAE_FIXTURE = """<?xml version="1.0" encoding="utf-8"?>
+<COLLADA xmlns="http://www.collada.org/2005/11/COLLADASchema" version="1.4.1">
+  <asset><unit name="centimeter" meter="0.01"/><up_axis>Y_UP</up_axis></asset>
+  <library_geometries>
+    <geometry id="quad" name="QuadMesh">
+      <mesh>
+        <source id="quad-pos">
+          <float_array id="quad-pos-array" count="12">
+            0 0 0  100 0 0  100 100 0  0 100 0</float_array>
+          <technique_common>
+            <accessor source="#quad-pos-array" count="4" stride="3">
+              <param name="X" type="float"/><param name="Y" type="float"/>
+              <param name="Z" type="float"/>
+            </accessor>
+          </technique_common>
+        </source>
+        <source id="quad-nrm">
+          <float_array id="quad-nrm-array" count="3">0 0 1</float_array>
+          <technique_common>
+            <accessor source="#quad-nrm-array" count="1" stride="3"/>
+          </technique_common>
+        </source>
+        <vertices id="quad-verts">
+          <input semantic="POSITION" source="#quad-pos"/>
+        </vertices>
+        <polylist count="1" material="m0">
+          <input semantic="VERTEX" source="#quad-verts" offset="0"/>
+          <input semantic="NORMAL" source="#quad-nrm" offset="1"/>
+          <vcount>4</vcount>
+          <p>0 0 1 0 2 0 3 0</p>
+        </polylist>
+      </mesh>
+    </geometry>
+    <geometry id="tri" name="TriMesh">
+      <mesh>
+        <source id="tri-pos">
+          <float_array id="tri-pos-array" count="9">
+            0 0 0  100 0 0  0 0 100</float_array>
+          <technique_common>
+            <accessor source="#tri-pos-array" count="3" stride="3"/>
+          </technique_common>
+        </source>
+        <vertices id="tri-verts">
+          <input semantic="POSITION" source="#tri-pos"/>
+        </vertices>
+        <triangles count="1">
+          <input semantic="VERTEX" source="#tri-verts" offset="0"/>
+          <p>0 1 2</p>
+        </triangles>
+      </mesh>
+    </geometry>
+  </library_geometries>
+  <library_visual_scenes>
+    <visual_scene id="scene0">
+      <node id="n1" name="floor">
+        <matrix>1 0 0 0  0 1 0 0  0 0 1 0  0 0 0 1</matrix>
+        <instance_geometry url="#quad"/>
+      </node>
+      <node id="n2" name="wedge_parent">
+        <translate>100 0 0</translate>
+        <node id="n3" name="wedge">
+          <instance_geometry url="#tri"/>
+        </node>
+      </node>
+    </visual_scene>
+  </library_visual_scenes>
+  <scene><instance_visual_scene url="#scene0"/></scene>
+</COLLADA>
+"""
+
+
+def test_dae_loader(tmp_path):
+    """Minimal Collada import: polylist fan-triangulation, triangles,
+    nested node transforms, centimeter units, Y_UP -> Z_UP conversion,
+    one object per instancing node (radar_sim_test.launch:6 scene class)."""
+    p = tmp_path / "scene.dae"
+    p.write_text(_DAE_FIXTURE)
+    scene = load_mesh(p, chunk_size=8)
+
+    assert scene.n_triangles == 3           # quad (2 tris) + wedge (1)
+    assert scene.object_names == ["floor", "wedge"]
+    np.testing.assert_array_equal(scene.obj_ids, [0, 0, 1])
+
+    floor = scene.verts[scene.obj_ids == 0].reshape(-1, 3)
+    wedge = scene.verts[scene.obj_ids == 1].reshape(-1, 3)
+    # centimeter scale: 100 units -> 1.0 m; Y_UP: the quad's +Y extent
+    # becomes -Z ((x, y, z) -> (x, -z, y))
+    np.testing.assert_allclose(floor[:, 0].max(), 1.0, atol=1e-6)
+    np.testing.assert_allclose(floor[:, 2].max(), 1.0, atol=1e-6)
+    np.testing.assert_allclose(floor[:, 1], 0.0, atol=1e-6)
+    # wedge: node translate (100, 0, 0) then unit scale -> x in [1, 2];
+    # its document +Z (up to 100) becomes world -Y, document y (0) -> z
+    np.testing.assert_allclose(wedge[:, 0].min(), 1.0, atol=1e-6)
+    np.testing.assert_allclose(wedge[:, 0].max(), 2.0, atol=1e-6)
+    np.testing.assert_allclose(wedge[:, 1].min(), -1.0, atol=1e-6)
+    np.testing.assert_allclose(wedge[:, 2], 0.0, atol=1e-6)
+
+
+def test_dae_rotate_scale_and_no_scene(tmp_path):
+    """rotate/scale node transforms; a document without a visual scene
+    falls back to loading every geometry at identity."""
+    doc = _DAE_FIXTURE.replace(
+        "<matrix>1 0 0 0  0 1 0 0  0 0 1 0  0 0 0 1</matrix>",
+        "<rotate>0 0 1 90</rotate><scale>2 1 1</scale>")
+    p = tmp_path / "rot.dae"
+    p.write_text(doc)
+    scene = load_mesh(p, chunk_size=8)
+    floor = scene.verts[scene.obj_ids == 0].reshape(-1, 3)
+    # local x in [0,2] after scale, then Rz(90): x' = -y, y' = x; Y_UP swap
+    # maps document (x, y, z) -> (x, -z, y): document y in [0, 2] -> world
+    # z in [0, 2]; document x in [-1, 0] stays x
+    np.testing.assert_allclose(floor[:, 0].min(), -1.0, atol=1e-6)
+    np.testing.assert_allclose(floor[:, 2].max(), 2.0, atol=1e-6)
+
+    # strip the visual scene: both geometries load at identity
+    import re as _re
+
+    doc2 = _re.sub(r"<library_visual_scenes>.*</library_visual_scenes>", "",
+                   _DAE_FIXTURE, flags=_re.S)
+    p2 = tmp_path / "noscene.dae"
+    p2.write_text(doc2)
+    scene2 = load_mesh(p2, chunk_size=8)
+    assert scene2.n_triangles == 3
+    assert scene2.object_names == ["QuadMesh", "TriMesh"]
