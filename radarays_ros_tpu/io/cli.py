@@ -298,16 +298,47 @@ def cmd_optimize(args) -> int:
 
 
 def cmd_eval(args) -> int:
-    # host-side analysis: run the tiny metric kernels on CPU rather than
-    # claiming (and possibly remote-compiling on) an accelerator
-    import jax
+    """Two modes (eval_real_to_sim.launch workflow):
 
-    jax.config.update("jax_platforms", "cpu")
+    * --real DIR --sim DIR       pairwise comparison of two frame dirs;
+    * --real DIR --mesh ... --traj ...
+                                 stamp-synced real-vs-sim: simulate at each
+                                 real frame's stamp (sync_topic mode,
+                                 radar_simulator.cpp:83-96) and score it.
+    """
+    metrics = args.metrics.split(",")
+    if args.sim:
+        # host-side analysis: run the tiny metric kernels on CPU rather
+        # than claiming (and possibly remote-compiling on) an accelerator
+        import jax
 
-    from radarays_ros_tpu.opti.evaluate import evaluate_dirs
+        jax.config.update("jax_platforms", "cpu")
 
-    report = evaluate_dirs(args.real, args.sim,
-                           metrics=args.metrics.split(","), limit=args.limit)
+        from radarays_ros_tpu.opti.evaluate import evaluate_dirs
+
+        report = evaluate_dirs(args.real, args.sim, metrics=metrics,
+                               limit=args.limit)
+    else:
+        if not (args.mesh and args.traj):
+            print("eval needs either --sim DIR, or --mesh + --traj for "
+                  "stamp-synced real-vs-sim", file=sys.stderr)
+            return 2
+        from radarays_ros_tpu.io.realdata import RealFrameSequence
+        from radarays_ros_tpu.io.trajectory import Trajectory
+        from radarays_ros_tpu.opti.evaluate import evaluate_real_vs_sim
+
+        scene = _load_scene(args)
+        cfg, params = _load_cfg_params(args, scene)
+        real = RealFrameSequence(args.real, stamps_file=args.stamps,
+                                 transpose=args.real_transpose)
+        traj = Trajectory.load_tum(args.traj)
+        report = evaluate_real_vs_sim(
+            real, scene.device_arrays(), params, cfg, traj,
+            metrics=metrics, limit=args.limit, seed=args.seed)
+        print(f"sync error: mean {report['sync_error_s']['mean'] * 1e3:.1f} ms"
+              f"  max {report['sync_error_s']['max'] * 1e3:.1f} ms"
+              f"  ({report['out_of_traj']} frames outside the trajectory)")
+
     if args.out:
         Path(args.out).write_text(json.dumps(report, indent=2))
     for m, s in report["summary"].items():
@@ -391,9 +422,24 @@ def build_parser() -> argparse.ArgumentParser:
                      help="write the fitted materials as a scene YAML")
     opt.set_defaults(fn=cmd_optimize)
 
-    ev = sub.add_parser("eval", help="compare real vs simulated frame dirs")
-    ev.add_argument("--real", required=True, help="directory of real frames")
-    ev.add_argument("--sim", required=True, help="directory of sim frames")
+    ev = sub.add_parser(
+        "eval", help="compare real frames against sim (dir-vs-dir, or "
+                     "stamp-synced against a live simulation)")
+    ev.add_argument("--real", required=True,
+                    help="directory of real frames (.png/.npy; stamps from "
+                         "stamps.txt, numeric filenames, or --stamps)")
+    ev.add_argument("--sim", help="directory of sim frames (dir-vs-dir mode)")
+    ev.add_argument("--mesh", help="scene mesh for stamp-synced mode")
+    ev.add_argument("--scene-config", help="materials YAML")
+    ev.add_argument("--preset", help="dyncfg preset YAML")
+    ev.add_argument("--engine",
+                    choices=["auto", "brute", "mxu", "culled", "pallas3"])
+    ev.add_argument("--chunk-size", type=int, default=256)
+    ev.add_argument("--seed", type=int, default=0)
+    ev.add_argument("--traj", help="TUM trajectory for stamp-synced mode")
+    ev.add_argument("--stamps", help="explicit stamps file for --real")
+    ev.add_argument("--real-transpose", action="store_true",
+                    help="real frames are stored (azimuth, range)")
     ev.add_argument("--metrics", default="psnr,ssim",
                     help="comma list: psnr,ssim,mi,nmi,voi,mae")
     ev.add_argument("--limit", type=int)

@@ -1,6 +1,7 @@
 """IO-layer tests: YAML formats, trajectory interpolation, PNG round-trip,
 CLI smoke."""
 
+import json
 import re
 
 import numpy as np
@@ -411,3 +412,87 @@ def test_cli_rays_spinning(tiny_mesh_file, tmp_path):
     assert data["n_rays"] == 4
     yaws = sorted({s["yaw"] for s in data["segments"]})
     assert yaws == [0.0, 0.5, 1.0, 1.5]
+
+
+# ---------------------------------------------------------------- real data
+
+def test_real_frame_sequence_stamp_sources(tmp_path):
+    from radarays_ros_tpu.io.realdata import RealFrameSequence
+
+    # (a) MulRan-style nanosecond epoch filenames
+    d1 = tmp_path / "mulran"
+    d1.mkdir()
+    base_ns = 1566535952000000000
+    for k in range(3):
+        np.save(d1 / f"{base_ns + k * 250_000_000}.npy",
+                np.full((8, 4), k, np.uint8))
+    seq = RealFrameSequence(d1)
+    np.testing.assert_allclose(np.diff(seq.stamps), 0.25)
+    assert seq.frame(2).max() == 2
+
+    # (b) stamps file with name/stamp pairs overrides filenames
+    d2 = tmp_path / "named"
+    d2.mkdir()
+    for name in ("a.npy", "b.npy"):
+        np.save(d2 / name, np.zeros((4, 4), np.uint8))
+    (d2 / "stamps.txt").write_text("# comment\nb.npy 2.5\na.npy 1.0\n")
+    seq2 = RealFrameSequence(d2)
+    np.testing.assert_allclose(seq2.stamps, [1.0, 2.5])
+    assert seq2.paths[0].name == "a.npy"
+
+    # (c) nearest lookup + signed sync error
+    i, err = seq2.nearest(2.4)
+    assert i == 1 and abs(err - 0.1) < 1e-9
+
+    # (d) transpose flag
+    np.save(d2 / "c.npy", np.arange(12, dtype=np.uint8).reshape(3, 4))
+    (d2 / "stamps.txt").write_text("c.npy 0.5\n")
+    seq3 = RealFrameSequence(d2, transpose=True)
+    assert seq3.frame(0).shape == (4, 3)
+
+
+def test_cli_eval_synced_real_vs_sim(tiny_mesh_file, tmp_path, capsys):
+    """VERDICT workflow: a synthetic 'real' MulRan-style directory evaluated
+    stamp-synced against the live simulator (eval_real_to_sim.launch)."""
+    from radarays_ros_tpu.io.cli import main
+    from radarays_ros_tpu.io.config import save_preset
+    from radarays_ros_tpu.io.trajectory import Trajectory
+    from radarays_ros_tpu.sim.config import RadarModelConfig
+
+    preset = tmp_path / "preset.yaml"
+    save_preset(preset, RadarModelConfig(
+        n_angles=16, n_cells=64, n_samples=2, n_reflections=1,
+        resolution=0.25, ambient_noise=0, signal_denoising=0),
+        beam_width_deg=2.0)
+
+    tr = Trajectory.circular(radius=2.0, n=5, period=2.0)
+    tr.save_tum(tmp_path / "traj.txt")
+
+    # synthesize the "real" frames with the simulator itself, stamped with
+    # MulRan-style nanosecond epoch names offset slightly off the traj grid
+    sim_out = tmp_path / "render"
+    rc = main(["simulate", "--mesh", str(tiny_mesh_file), "--chunk-size", "8",
+               "--preset", str(preset), "--traj", str(tmp_path / "traj.txt"),
+               "--synced", "--frames", "3", "--out", str(sim_out),
+               "--format", "npy"])
+    assert rc == 0
+    real_dir = tmp_path / "real"
+    real_dir.mkdir()
+    for i, f in enumerate(sorted(sim_out.glob("frame_*.npy"))):
+        stamp_ns = int((tr.stamps[i] + 0.013) * 1e9) + 1_600_000_000_000_000_000
+        np.save(real_dir / f"{stamp_ns}.npy", np.load(f))
+
+    report_path = tmp_path / "report.json"
+    rc = main(["eval", "--real", str(real_dir),
+               "--mesh", str(tiny_mesh_file), "--chunk-size", "8",
+               "--preset", str(preset), "--traj", str(tmp_path / "traj.txt"),
+               "--metrics", "psnr,mae", "--out", str(report_path)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "sync error" in out
+
+    report = json.loads(report_path.read_text())
+    assert report["mode"] == "real_vs_sim_synced"
+    assert report["n_frames"] == 3
+    assert {"psnr", "mae"} <= set(report["summary"])
+    assert all("sync_error_s" in f for f in report["per_frame"])
