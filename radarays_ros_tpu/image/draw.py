@@ -163,7 +163,8 @@ def draw_signals(times, strengths, valid, *, n_cells: int, resolution,
 def apply_ambient_noise(img, max_val, cols, key, *, mode: int, resolution,
                         at_signal_0, at_signal_1, energy_max, energy_min,
                         energy_loss, perlin_scale_low=0.05,
-                        perlin_scale_high=0.2, perlin_p_low=0.9):
+                        perlin_scale_high=0.2, perlin_p_low=0.9,
+                        rows_slice=None):
     """Add signal-adaptive ambient noise to an (A, n_cells) image.
 
     `img` must already be scaled by cfg.energy_max (RadarCPU.cpp:453), while
@@ -174,21 +175,29 @@ def apply_ambient_noise(img, max_val, cols, key, *, mode: int, resolution,
     mode: 0=none, 1=uniform, 2=two-octave Perlin (cfg/RadarModel.cfg:54-60).
     cols: (A,) actual image column per azimuth (the Perlin y coordinate,
     RadarCPU.cpp:487).
+    rows_slice: optional (row_offset, n_rows_total). When the image is an
+    azimuth WEDGE of a larger frame (the shard_map 2-D path,
+    parallel/sharding.py), the PRNG fields are drawn at the full
+    (n_rows_total, n_cells) shape and sliced at row_offset, so every shard's
+    noise is bit-identical to the unsharded frame's.
     """
     if mode == 0:
         return img
     A, n_cells = img.shape
+    a0, a_total = rows_slice if rows_slice is not None else (0, A)
     k_begin, k_uni = jax.random.split(key)
     i = jnp.arange(n_cells, dtype=jnp.float32)[None, :]
 
     if mode == 1:
-        p = jax.random.uniform(k_uni, (A, n_cells), jnp.float32)
+        p = jax.random.uniform(k_uni, (a_total, n_cells), jnp.float32)
+        p = jax.lax.dynamic_slice_in_dim(p, a0, A, axis=0)
     else:
         # integer per-row offsets let the fast affine-row Perlin share its
         # lattice phase across rows (perlin.py:perlin_affine_rows) — same
         # row decorrelation as the reference's continuous random begin
         # (RadarCPU.cpp:461-463), ~20x cheaper on TPU
-        random_begin = jax.random.randint(k_begin, (A,), 0, 1000)
+        random_begin = jax.lax.dynamic_slice_in_dim(
+            jax.random.randint(k_begin, (a_total,), 0, 1000), a0, A)
         y = cols.astype(jnp.float32)
         p1 = perlin_affine_rows(random_begin, y * perlin_scale_low,
                                 perlin_scale_low, n_cells)

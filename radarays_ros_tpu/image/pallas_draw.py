@@ -52,12 +52,60 @@ def _bin_kernel(cell_ref, s_ref, out_ref, *, n_cells: int, n_signals: int,
         out_ref[0] = jnp.maximum(out_ref[0], 0.0)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("n_cells", "combine", "lanes", "interpret"))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _bin_vjp(cell, s, n_cells, combine, lanes, interpret):
+    return _bin_impl(cell, s, n_cells=n_cells, combine=combine, lanes=lanes,
+                     interpret=interpret)
+
+
+def _bin_fwd(cell, s, n_cells, combine, lanes, interpret):
+    out = _bin_impl(cell, s, n_cells=n_cells, combine=combine, lanes=lanes,
+                    interpret=interpret)
+    return out, (cell, s, out)
+
+
+def _bin_bwd(n_cells, combine, lanes, interpret, res, g):
+    """Gradient w.r.t. strengths (cells are integer indices — no gradient).
+
+    sum: each signal receives its cell's cotangent (a gather — the adjoint
+    of the one-hot accumulate). max: the subgradient routes the cotangent to
+    every signal equal to its cell's maximum (matching jnp's scatter-max
+    ties-take-all convention closely enough for optimization; the denoise
+    path used by the optimizer is the linear sum).
+    """
+    cell, s, out = res
+    A, N = cell.shape
+    az = jnp.broadcast_to(jnp.arange(A)[:, None], (A, N))
+    safe = jnp.clip(cell, 0, n_cells - 1)
+    ok = (cell >= 0) & (cell < n_cells)
+    g_at = g[az, safe]
+    if combine == "sum":
+        ds = jnp.where(ok, g_at, 0.0)
+    else:
+        is_max = ok & (s == out[az, safe])
+        ds = jnp.where(is_max, g_at, 0.0)
+    return None, ds
+
+
+_bin_vjp.defvjp(_bin_fwd, _bin_bwd)
+
+
 def bin_signals_pallas(cell, s, *, n_cells: int, combine: str = "sum",
                        lanes: int = 512, interpret: bool = False):
     """Bin (A, N) signals -> (A, n_cells); `cell` must already encode
-    invalid signals as an out-of-range value (e.g. n_cells)."""
+    invalid signals as an out-of-range value (e.g. n_cells).
+
+    Differentiable w.r.t. `s` via a custom VJP (the kernel itself has no
+    autodiff rule): material optimization differentiates through the frame,
+    and the production draw path must not silently require method="scatter".
+    """
+    return _bin_vjp(cell, s, n_cells, combine, lanes, interpret)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_cells", "combine", "lanes", "interpret"))
+def _bin_impl(cell, s, *, n_cells: int, combine: str = "sum",
+              lanes: int = 512, interpret: bool = False):
     A, N = cell.shape
     pad_n = (-N) % 8
     if pad_n:

@@ -73,6 +73,143 @@ def simulate_frame_sharded(scene, params, cfg, poses, key, mesh,
     return fn(scene, params, cfg, poses, key)
 
 
+def make_mesh_2d(n_az: Optional[int] = None, n_smp: int = 2,
+                 axis_names=("az", "smp")) -> Mesh:
+    """2-D (azimuth x sample) device mesh for single-frame latency scaling."""
+    devs = jax.devices()
+    n_az = n_az or len(devs) // n_smp
+    return Mesh(np.array(devs[: n_az * n_smp]).reshape(n_az, n_smp),
+                axis_names)
+
+
+def simulate_frame_sharded_2d(scene, params, cfg, poses, key, mesh):
+    """One frame sharded over BOTH azimuth and beam-sample axes.
+
+    Azimuth data-parallelism alone (simulate_frame_sharded) caps latency
+    scaling at the azimuth count; sharding the per-beam sample axis as well
+    lets one frame's latency keep dropping. Samples never interact until
+    range binning — each (azimuth wedge, sample wedge) shard runs cone
+    sampling, every bounce and signal drawing locally (Pallas kernels run
+    per device inside shard_map), then the binned images are combined
+    across the sample axis with ONE collective: a psum for the linear
+    denoise splat, a pmax for the max-combine mode (RadarCPU.cpp:402-450 is
+    a per-signal sum/max, so the combination is exact). Noise and
+    normalization run redundantly per sample shard on identical data; all
+    PRNG fields are drawn at global shape and sliced so the frame is
+    bit-identical to the unsharded one (parity-tested).
+
+    poses: (n_angles, 7); n_angles % mesh az size == 0 and
+    cfg.n_samples % mesh smp size == 0.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from radarays_ros_tpu.image.draw import (
+        apply_ambient_noise, draw_signals, normalize_to_u8)
+    from radarays_ros_tpu.sim.pipeline import FrameResult, collect_signals
+    from radarays_ros_tpu.utils.transforms import (
+        azimuth_angles, pose_matrix, rotz)
+    from radarays_ros_tpu.wave.cone import sample_cone_local
+    from radarays_ros_tpu.wave.types import (
+        broadcast_waves, make_start_wave_attrs)
+
+    A = cfg.n_angles
+    S = cfg.n_samples
+    na = mesh.shape["az"]
+    ns = mesh.shape["smp"]
+    assert A % na == 0 and S % ns == 0, (A, S, dict(mesh.shape))
+    poses = jnp.asarray(poses, jnp.float32)
+    if poses.ndim == 1:
+        poses = jnp.broadcast_to(poses[None, :], (A, 7))
+    if isinstance(key, (tuple, list)):
+        key_cone, key_noise = key
+    else:
+        key_cone, key_noise = jax.random.split(jnp.asarray(key))
+
+    weights, mode = cfg.denoiser()
+
+    def local(scene, params, poses_loc, key_cone, key_noise):
+        ai = jax.lax.axis_index("az")
+        si = jax.lax.axis_index("smp")
+        A_loc = poses_loc.shape[0]
+        S_loc = S // ns
+        a0 = ai * A_loc
+
+        # every shard draws the SAME full cone (same key), then takes its
+        # sample wedge — bit-identical to the unsharded frame
+        local_dirs = sample_cone_local(
+            key_cone, params.beam_width, S, cfg.beam_sample_dist,
+            cfg.beam_sample_dist_normal_p_in_cone)
+        local_dirs = jax.lax.dynamic_slice_in_dim(local_dirs, si * S_loc,
+                                                  S_loc)
+
+        R_sm, t_sm = pose_matrix(poses_loc)
+        theta = jax.lax.dynamic_slice_in_dim(azimuth_angles(A), a0, A_loc)
+        R_am = R_sm @ rotz(theta)
+        dirs0 = jnp.einsum("aij,sj->asi", R_am, local_dirs)
+        sensor_pos = t_sm + jnp.array([0.0, 0.0, cfg.z_offset], jnp.float32)
+
+        waves = broadcast_waves(
+            sensor_pos[:, None, :], dirs0,
+            make_start_wave_attrs(material_id=cfg.material_id_air),
+            (A_loc, S_loc))
+
+        times, strengths, valid = collect_signals(scene, params, cfg, waves,
+                                                  sensor_pos)
+        img, _ = draw_signals(
+            times, strengths, valid, n_cells=cfg.n_cells,
+            resolution=cfg.resolution, denoise_weights=weights,
+            denoise_mode=mode, method=cfg.draw_method)
+        # combine sample shards: the splat is linear (psum); the no-denoise
+        # mode is a per-cell max (pmax)
+        if weights is not None:
+            img = jax.lax.psum(img, "smp")
+        else:
+            img = jax.lax.pmax(img, "smp")
+
+        max_val = jnp.max(img, axis=-1)
+        img = img * cfg.energy_max
+        cols = (cfg.scroll_image + a0 + jnp.arange(A_loc, dtype=jnp.int32)) % A
+        img = apply_ambient_noise(
+            img, max_val, cols, key_noise,
+            mode=cfg.ambient_noise, resolution=cfg.resolution,
+            at_signal_0=cfg.ambient_noise_at_signal_0,
+            at_signal_1=cfg.ambient_noise_at_signal_1,
+            energy_max=cfg.ambient_noise_energy_max,
+            energy_min=cfg.ambient_noise_energy_min,
+            energy_loss=cfg.ambient_noise_energy_loss,
+            perlin_scale_low=cfg.ambient_noise_perlin_scale_low,
+            perlin_scale_high=cfg.ambient_noise_perlin_scale_high,
+            perlin_p_low=cfg.ambient_noise_perlin_p_low,
+            rows_slice=(a0, A))
+        u8_rows = normalize_to_u8(img, max_val, cfg.signal_max)
+        return u8_rows, img, max_val
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P("az", None), P(), P()),
+        out_specs=(P("az", None), P("az", None), P("az",)),
+    )
+
+    @partial(jax.jit, out_shardings=(
+        NamedSharding(mesh, P(None, "az")),
+        NamedSharding(mesh, P("az", None)),
+        NamedSharding(mesh, P("az")),
+    ))
+    def run(scene, params, poses, key_cone, key_noise):
+        u8_rows, img, max_val = fn(scene, params, poses, key_cone, key_noise)
+        # scroll placement crosses azimuth shards: do it globally (GSPMD)
+        cols = (cfg.scroll_image + jnp.arange(A, dtype=jnp.int32)) % A
+        image_u8 = jnp.zeros_like(u8_rows).at[cols].set(u8_rows).T
+        return image_u8, img, max_val
+
+    repl = NamedSharding(mesh, P())
+    scene = jax.device_put(scene, repl)
+    params = jax.device_put(params, repl)
+    poses = jax.device_put(poses, NamedSharding(mesh, P("az", None)))
+    image_u8, img, max_val = run(scene, params, poses, key_cone, key_noise)
+    return FrameResult(image_u8=image_u8, image_float=img, max_val=max_val)
+
+
 def psnr_loss(image_float, target_float, signal_max: float):
     """Negative PSNR against a target float image (both (A, n_cells))."""
     mse = jnp.mean((image_float - target_float) ** 2)

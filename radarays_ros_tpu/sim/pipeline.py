@@ -207,6 +207,47 @@ def _bounce(cfg: RadarModelConfig, params: RadarParams, scene: SceneArrays,
     return next_waves, signals
 
 
+def collect_signals(scene: SceneArrays, params: RadarParams,
+                    cfg: RadarModelConfig, waves: Waves, sensor_pos):
+    """Run all bounce passes; return dense (A, N) (times, strengths, valid).
+
+    Shape-agnostic over the wave batch (the 2-D sharded path runs it on an
+    (A_local, S_local) wedge, parallel/sharding.py). When opaque_materials
+    holds, every pass keeps the (A, S) shape (no refraction children), so
+    the bounce loop rolls up into ONE lax.scan iteration body — a ~4x
+    smaller XLA graph and a single Mosaic trace kernel to compile.
+    """
+    A = waves.batch_shape[0]
+    if cfg.opaque_materials:
+        def body(w, i):
+            w2, signals = _bounce(cfg, params, scene, w, sensor_pos, i)
+            return w2, tuple(signals)
+
+        _, sigs = jax.lax.scan(
+            body, waves, jnp.arange(cfg.n_reflections, dtype=jnp.int32))
+        # each kind: (P, A, N) -> (A, P*N)
+        def flat(x):
+            return x.transpose(1, 0, 2).reshape(A, -1)
+
+        times = jnp.concatenate([flat(t) for t, _, _ in sigs], axis=1)
+        strengths = jnp.concatenate([flat(s) for _, s, _ in sigs], axis=1)
+        valid = jnp.concatenate([flat(v) for _, _, v in sigs], axis=1)
+    else:
+        all_times, all_strengths, all_valid = [], [], []
+        for pass_id in range(cfg.n_reflections):
+            waves, signals = _bounce(cfg, params, scene, waves, sensor_pos,
+                                     pass_id)
+            for t, s, v in signals:
+                all_times.append(t)
+                all_strengths.append(s)
+                all_valid.append(v)
+
+        times = jnp.concatenate(all_times, axis=1)
+        strengths = jnp.concatenate(all_strengths, axis=1)
+        valid = jnp.concatenate(all_valid, axis=1)
+    return times, strengths, valid
+
+
 def simulate_frame(scene: SceneArrays, params: RadarParams,
                    cfg: RadarModelConfig, poses, key) -> FrameResult:
     """Simulate one full rotating radar frame.
@@ -254,36 +295,8 @@ def simulate_frame(scene: SceneArrays, params: RadarParams,
         ), (A, S),
     )
 
-    if cfg.opaque_materials:
-        # every pass keeps the (A, S) shape (no refraction children), so the
-        # bounce loop rolls up into ONE lax.scan iteration body — a ~4x
-        # smaller XLA graph and a single Mosaic trace kernel to compile
-        def body(w, i):
-            w2, signals = _bounce(cfg, params, scene, w, sensor_pos, i)
-            return w2, tuple(signals)
-
-        _, sigs = jax.lax.scan(
-            body, waves, jnp.arange(cfg.n_reflections, dtype=jnp.int32))
-        # each kind: (P, A, N) -> (A, P*N)
-        def flat(x):
-            return x.transpose(1, 0, 2).reshape(A, -1)
-
-        times = jnp.concatenate([flat(t) for t, _, _ in sigs], axis=1)
-        strengths = jnp.concatenate([flat(s) for _, s, _ in sigs], axis=1)
-        valid = jnp.concatenate([flat(v) for _, _, v in sigs], axis=1)
-    else:
-        all_times, all_strengths, all_valid = [], [], []
-        for pass_id in range(cfg.n_reflections):
-            waves, signals = _bounce(cfg, params, scene, waves, sensor_pos,
-                                     pass_id)
-            for t, s, v in signals:
-                all_times.append(t)
-                all_strengths.append(s)
-                all_valid.append(v)
-
-        times = jnp.concatenate(all_times, axis=1)
-        strengths = jnp.concatenate(all_strengths, axis=1)
-        valid = jnp.concatenate(all_valid, axis=1)
+    times, strengths, valid = collect_signals(scene, params, cfg, waves,
+                                              sensor_pos)
 
     weights, mode = cfg.denoiser()
     img, max_val = draw_signals(

@@ -46,22 +46,27 @@ _INSIDE_EPS = 1e-5  # meters (edge planes are unit-normalized); planes.py:33
 _BIG_IDX = 2**30  # python literal: jnp constants would be captured by the kernel
 
 
-def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, o_ref, d_ref, last_ref,
-                     po_hbm, pd_hbm, best_t_ref, best_idx_ref,
+def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, o_ref, d_ref,
+                     tlast_ref, po_hbm, pd_hbm, best_t_ref, best_idx_ref,
                      order_ref, entry_ref, idx_sem,
-                     po_buf, pd_buf, po_sem, pd_sem, *, tc: int,
+                     po_buf, pd_buf, po_sem, pd_sem, *, tc: int, group: int,
                      t_min: float, t_max: float):
     """v3: ordered chunk sweep with early termination and HBM->VMEM DMA.
 
     Per ray block, chunks are walked front-to-back (order_ref, ranked by the
     block's slab-entry distance); the sweep stops as soon as every ray's
     best hit is closer than the nearest entry among the remaining chunks —
-    the standard BVH termination criterion, applied block-wide. The
-    termination max runs over ACTIVE lanes only: last_ref holds each lane's
-    last overlapped chunk rank, so rays that never hit anything (sky rays,
-    block padding) stop vetoing termination once their own overlap set is
-    exhausted — without this, one escaping ray forces the block to sweep
-    every overlapped chunk. Plane slabs stream from HBM through
+    the standard BVH termination criterion, applied block-wide, with
+    per-lane overlap exhaustion: tlast_ref[r] is the largest entry distance
+    among the chunks lane r overlaps, so a lane stops vetoing termination
+    once the next ranked entry exceeds it — rays that never hit anything
+    (sky rays, block padding, budget-dead rays) cannot force the block to
+    sweep every chunk. Exactness: if e_next > t_last[r], lane r overlaps no
+    remaining chunk (a remaining c' it overlapped would satisfy
+    block_entry(c') <= t_near[r, c'] <= t_last[r] < e_next, contradicting
+    the non-decreasing ranked order); if e_next > best_t[r], no remaining
+    chunk can improve r. Hence the per-lane veto bound is
+    min(best_t, t_last). Plane slabs stream from HBM through
     double-buffered async copies, so scene size is bounded by HBM, not VMEM.
     """
     i = pl.program_id(0)
@@ -87,15 +92,19 @@ def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, o_ref, d_ref, last_ref,
 
     def dma(k, slot):
         # planes live transposed in HBM as (4, C*4*Tc) so the DMA's trailing
-        # dimension (the slab, a multiple of 128) satisfies lane tiling
+        # dimension (the slab, a multiple of 128) satisfies lane tiling.
+        # One visit covers a SUPERGROUP of `group` consecutive Morton chunks
+        # (one contiguous slab): culling/ranking granularity is group*tc
+        # triangles (cheap prep at scale), compute granularity stays tc
+        # (the inner static loop below keeps the matmul intermediates small)
         c = order_ref[k // W, k % W]
         return (
             pltpu.make_async_copy(
-                po_hbm.at[:, pl.ds(c * 4 * tc, 4 * tc)], po_buf.at[slot],
-                po_sem.at[slot]),
+                po_hbm.at[:, pl.ds(c * group * 4 * tc, group * 4 * tc)],
+                po_buf.at[slot], po_sem.at[slot]),
             pltpu.make_async_copy(
-                pd_hbm.at[:, pl.ds(c * 4 * tc, 4 * tc)], pd_buf.at[slot],
-                pd_sem.at[slot]),
+                pd_hbm.at[:, pl.ds(c * group * 4 * tc, group * 4 * tc)],
+                pd_buf.at[slot], pd_sem.at[slot]),
         )
 
     @pl.when(n > 0)
@@ -122,41 +131,45 @@ def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, o_ref, d_ref, last_ref,
             a.wait()
             b.wait()
 
-            # contract the coordinate axis (dim 0 of both operands): no
-            # transpose needed for the (4, 4*Tc) buffer layout
-            dn = (((0,), (0,)), ((), ()))
-            so = jax.lax.dot_general(po_buf[slot], o, dn,
-                                     preferred_element_type=jnp.float32)
-            sd = jax.lax.dot_general(pd_buf[slot], d, dn,
-                                     preferred_element_type=jnp.float32)
-            so_s, sd_s = so[0:tc], sd[0:tc]
-            denom_ok = jnp.abs(sd_s) > _DIR_EPS
-            t = -so_s / jnp.where(denom_ok, sd_s, 1.0)
-            inside = (
-                (so[tc:2 * tc] + t * sd[tc:2 * tc] >= -_INSIDE_EPS)
-                & (so[2 * tc:3 * tc] + t * sd[2 * tc:3 * tc] >= -_INSIDE_EPS)
-                & (so[3 * tc:4 * tc] + t * sd[3 * tc:4 * tc] >= -_INSIDE_EPS)
-            )
-            hit = denom_ok & inside & (t >= t_min) & (t <= t_max)
-            t_masked = jnp.where(hit, t, jnp.inf)             # (Tc, RB)
-            local_t = jnp.min(t_masked, axis=0, keepdims=True)
-            rows = jax.lax.broadcasted_iota(jnp.int32, t_masked.shape, 0)
-            local_i = jnp.min(
-                jnp.where(t_masked == local_t, rows, _BIG_IDX),
-                axis=0, keepdims=True)
             c = order_ref[k // W, k % W]
-            better = local_t[None] < best_t_ref[:]
-            best_t_ref[:] = jnp.where(better, local_t[None], best_t_ref[:])
-            best_idx_ref[:] = jnp.where(better, (c * tc + local_i)[None],
-                                        best_idx_ref[:])
+            for g in range(group):
+                # contract the coordinate axis (dim 0 of both operands): no
+                # transpose needed for the (4, 4*Tc) buffer layout
+                dn = (((0,), (0,)), ((), ()))
+                po_g = po_buf[slot, :, g * 4 * tc:(g + 1) * 4 * tc]
+                pd_g = pd_buf[slot, :, g * 4 * tc:(g + 1) * 4 * tc]
+                so = jax.lax.dot_general(po_g, o, dn,
+                                         preferred_element_type=jnp.float32)
+                sd = jax.lax.dot_general(pd_g, d, dn,
+                                         preferred_element_type=jnp.float32)
+                so_s, sd_s = so[0:tc], sd[0:tc]
+                denom_ok = jnp.abs(sd_s) > _DIR_EPS
+                t = -so_s / jnp.where(denom_ok, sd_s, 1.0)
+                inside = (
+                    (so[tc:2 * tc] + t * sd[tc:2 * tc] >= -_INSIDE_EPS)
+                    & (so[2 * tc:3 * tc] + t * sd[2 * tc:3 * tc] >= -_INSIDE_EPS)
+                    & (so[3 * tc:4 * tc] + t * sd[3 * tc:4 * tc] >= -_INSIDE_EPS)
+                )
+                hit = denom_ok & inside & (t >= t_min) & (t <= t_max)
+                t_masked = jnp.where(hit, t, jnp.inf)             # (Tc, RB)
+                local_t = jnp.min(t_masked, axis=0, keepdims=True)
+                rows = jax.lax.broadcasted_iota(jnp.int32, t_masked.shape, 0)
+                local_i = jnp.min(
+                    jnp.where(t_masked == local_t, rows, _BIG_IDX),
+                    axis=0, keepdims=True)
+                better = local_t[None] < best_t_ref[:]
+                best_t_ref[:] = jnp.where(better, local_t[None],
+                                          best_t_ref[:])
+                best_idx_ref[:] = jnp.where(
+                    better, ((c * group + g) * tc + local_i)[None],
+                    best_idx_ref[:])
 
             # early termination: ranked entries are non-decreasing, so the
-            # next chunk's entry bounds every remaining chunk's entry. Only
-            # lanes with overlapped chunks left (rank <= last) participate:
-            # a lane past its last overlapped chunk can never improve, even
-            # if it never hit (best_t = inf).
-            active = last_ref[0, 0, :] >= k + 1
-            worst = jnp.max(jnp.where(active, best_t_ref[0, 0, :], -jnp.inf))
+            # next entry bounds every remaining chunk's entry; a lane vetoes
+            # only while BOTH its best hit and its own last overlapped entry
+            # are at or beyond it (see docstring for the exactness proof)
+            worst = jnp.max(jnp.minimum(best_t_ref[0, 0, :],
+                                        tlast_ref[0, 0, :]))
             done = entry_ref[(k + 1) // W, (k + 1) % W] > worst
             return k + 1, done
 
@@ -171,7 +184,7 @@ def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, o_ref, d_ref, last_ref,
             b.wait()
 
 
-def _v3_callable(chunk_size: int, ray_block: int, t_min: float,
+def _v3_callable(chunk_size: int, ray_block: int, group: int, t_min: float,
                  t_max: float, interpret: bool):
     """Build the v3 impl with a custom vmap rule: batched rays flatten into
     the ray axis (rays are independent), because Pallas ANY-space operands
@@ -181,7 +194,7 @@ def _v3_callable(chunk_size: int, ray_block: int, t_min: float,
     def impl(planes_o, planes_d, chunk_lo, chunk_hi, origs, dirs, budget):
         return _trace_pallas_v3_impl(
             planes_o, planes_d, chunk_lo, chunk_hi, origs, dirs, budget,
-            chunk_size=chunk_size, ray_block=ray_block,
+            chunk_size=chunk_size, ray_block=ray_block, group=group,
             t_min=t_min, t_max=t_max, interpret=interpret)
 
     @impl.def_vmap
@@ -207,11 +220,13 @@ def _v3_callable(chunk_size: int, ray_block: int, t_min: float,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("chunk_size", "ray_block", "t_min", "t_max", "interpret"),
+    static_argnames=("chunk_size", "ray_block", "group", "t_min", "t_max",
+                     "interpret"),
 )
 def _trace_pallas_v3_impl(planes_o, planes_d, chunk_lo, chunk_hi, origs, dirs,
                           budget, *, chunk_size: int, ray_block: int,
-                          t_min: float, t_max: float, interpret: bool):
+                          group: int, t_min: float, t_max: float,
+                          interpret: bool):
     tc = chunk_size
     C = planes_o.shape[0] // (4 * tc)
     R = origs.shape[0]
@@ -221,6 +236,24 @@ def _trace_pallas_v3_impl(planes_o, planes_d, chunk_lo, chunk_hi, origs, dirs,
     d = jnp.concatenate([dirs, jnp.ones((pad, 3), jnp.float32)], axis=0)
     bud = jnp.concatenate([budget, jnp.zeros((pad,), jnp.float32)], axis=0)
     n_blocks = o.shape[0] // RB
+
+    # pad the chunk axis to a multiple of the supergroup size with never-hit
+    # chunks (zero planes -> |denominator| = 0; far AABBs -> never ranked)
+    pad_c = (-C) % group
+    if pad_c:
+        planes_o = jnp.concatenate(
+            [planes_o, jnp.zeros((pad_c * 4 * tc, 4), jnp.float32)], axis=0)
+        planes_d = jnp.concatenate(
+            [planes_d, jnp.zeros((pad_c * 4 * tc, 3), jnp.float32)], axis=0)
+        far = jnp.full((pad_c, 3), 1e9, jnp.float32)
+        chunk_lo = jnp.concatenate([chunk_lo, far], axis=0)
+        chunk_hi = jnp.concatenate([chunk_hi, far + 1.0], axis=0)
+        C += pad_c
+    # supergroup AABBs: culling granularity = group consecutive Morton
+    # chunks (their triangles are one contiguous plane slab in HBM)
+    C2 = C // group
+    sg_lo = chunk_lo.reshape(C2, group, 3).min(axis=1)
+    sg_hi = chunk_hi.reshape(C2, group, 3).max(axis=1)
 
     ones = jnp.ones((o.shape[0], 1), jnp.float32)
     zeros = jnp.zeros((o.shape[0], 1), jnp.float32)
@@ -237,44 +270,45 @@ def _trace_pallas_v3_impl(planes_o, planes_d, chunk_lo, chunk_hi, origs, dirs,
         [pd_rows, jnp.zeros((C, 4, tc, 1), jnp.float32)], axis=-1
     ).reshape(C * 4 * tc, 4).T
 
-    # per-block front-to-back chunk ranking + suffix-min entries (XLA prep)
+    # per-block front-to-back SUPERGROUP ranking + entries (XLA prep).
+    # Prep is O(rays x C/group): `group` is the lever that keeps this cheap
+    # at scale (the kernel's inner loop keeps compute granularity at tc).
     inv_d = 1.0 / jnp.where(jnp.abs(d) > _DIR_EPS, d,
                             jnp.where(d >= 0, _DIR_EPS, -_DIR_EPS))
-    t_near, overlap = _ray_aabb(o, inv_d, chunk_lo, chunk_hi)  # (B*RB, C)
-    # padding lanes [R:] are excluded up front: they contribute no entries
-    # (shorter sweeps) and carry lane_last = -1 (never veto termination).
-    # The per-ray budget prunes the same way: a chunk a ray only enters
-    # beyond its budget cannot hold a within-budget hit for it (the uniform
-    # miss-mask for beyond-budget nearest hits lives in trace/api.py).
+    t_near, overlap = _ray_aabb(o, inv_d, sg_lo, sg_hi)   # (B*RB, C2)
+    # padding lanes [R:] and budget-dead rays (cap <= 0) are excluded up
+    # front: they contribute no entries and carry t_last = -inf (never veto
+    # termination). The per-ray budget prunes the same way: a chunk a ray
+    # only enters beyond its budget cannot hold a within-budget hit for it
+    # (the uniform miss-mask for beyond-budget hits lives in trace/api.py).
     lane_ok = (jnp.arange(o.shape[0]) < R)[:, None]
     cap = jnp.minimum(jnp.float32(t_max), bud)[:, None]
-    t_near = jnp.where(lane_ok & overlap & (t_near <= cap),
-                       jnp.maximum(t_near, 0.0), jnp.inf)
-    entry = jnp.min(t_near.reshape(n_blocks, RB, C), axis=1)   # (B, C)
-    order = jnp.argsort(entry, axis=1).astype(jnp.int32)       # (B, C)
+    keep = lane_ok & overlap & (t_near <= cap) & (cap > 0.0)
+    t_near = jnp.where(keep, jnp.maximum(t_near, 0.0), jnp.inf)
+    entry = jnp.min(t_near.reshape(n_blocks, RB, C2), axis=1)  # (B, C2)
+    order = jnp.argsort(entry, axis=1).astype(jnp.int32)       # (B, C2)
     entry_ranked = jnp.take_along_axis(entry, order, axis=1)  # sorted asc
     nvisit = jnp.sum(jnp.isfinite(entry_ranked), axis=1,
                      keepdims=True).astype(jnp.int32)        # (B, 1)
-    # per-lane last overlapped rank: past it, a lane cannot improve — the
-    # in-kernel termination max skips such lanes even if they never hit
-    rank = jnp.argsort(order, axis=1).astype(jnp.int32)       # chunk -> rank
-    lane_last = jnp.max(
-        jnp.where(jnp.isfinite(t_near).reshape(n_blocks, RB, C),
-                  rank[:, None, :], -1),
-        axis=2).astype(jnp.int32)                             # (B, RB)
-    lane_last = lane_last.reshape(n_blocks, 1, RB)
+    # per-lane exhaustion bound: the largest entry among the lane's own
+    # overlapped chunks (see the kernel docstring for the exactness proof).
+    # One fused reduction — this replaced a rank-based formulation (two
+    # argsorts + a gathered (B, RB, C) pass) that dominated prep at scale.
+    t_last = jnp.max(jnp.where(keep, t_near, -jnp.inf), axis=1)
+    t_last = t_last.reshape(n_blocks, 1, RB)
     # pad the ranked tables so their (8, Cp/8) tile shape is aligned; the
-    # entry padding is +inf so the termination test holds at k+1 == n == C
-    Cp = ((C + 1 + 1023) // 1024) * 1024
+    # entry padding is +inf so the termination test holds at k+1 == n == C2
+    Cp = ((C2 + 1 + 1023) // 1024) * 1024
     order = jnp.concatenate(
-        [order, jnp.zeros((n_blocks, Cp - C), jnp.int32)],
+        [order, jnp.zeros((n_blocks, Cp - C2), jnp.int32)],
         axis=1).reshape(n_blocks, 8, Cp // 8)
     entry_pad = jnp.concatenate(
-        [entry_ranked, jnp.full((n_blocks, Cp - C), jnp.inf)],
+        [entry_ranked, jnp.full((n_blocks, Cp - C2), jnp.inf)],
         axis=1).reshape(n_blocks, 8, Cp // 8)
 
     kernel = functools.partial(
-        _trace_kernel_v3, tc=tc, t_min=float(t_min), t_max=float(t_max))
+        _trace_kernel_v3, tc=tc, group=group,
+        t_min=float(t_min), t_max=float(t_max))
 
     best_t, best_idx = pl.pallas_call(
         kernel,
@@ -288,7 +322,7 @@ def _trace_pallas_v3_impl(planes_o, planes_d, chunk_lo, chunk_hi, origs, dirs,
             pl.BlockSpec((1, 4, RB), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, RB), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),   # lane_last
+                         memory_space=pltpu.VMEM),   # t_last
             pl.BlockSpec(memory_space=pltpu.HBM),    # po
             pl.BlockSpec(memory_space=pltpu.HBM),    # pd
         ],
@@ -306,37 +340,45 @@ def _trace_pallas_v3_impl(planes_o, planes_d, chunk_lo, chunk_hi, origs, dirs,
             pltpu.SMEM((8, Cp // 8), jnp.int32),       # this block's order
             pltpu.SMEM((8, Cp // 8), jnp.float32),     # this block's entries
             pltpu.SemaphoreType.DMA((2,)),             # order/entry DMA
-            pltpu.VMEM((2, 4, 4 * tc), jnp.float32),   # po double buffer
-            pltpu.VMEM((2, 4, 4 * tc), jnp.float32),   # pd double buffer
+            pltpu.VMEM((2, 4, group * 4 * tc), jnp.float32),  # po dbl buf
+            pltpu.VMEM((2, 4, group * 4 * tc), jnp.float32),  # pd dbl buf
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(nvisit, order, entry_pad, o_aug, d_aug, lane_last, po, pd)
+    )(nvisit, order, entry_pad, o_aug, d_aug, t_last, po, pd)
 
     return best_t.reshape(-1)[:R], best_idx.reshape(-1)[:R]
 
 
 def trace_pallas_v3(scene, origs, dirs, t_min: float = 0.0,
                     t_max: float = 1000.0, ray_block: int = 2048,
-                    t_budget=None, interpret: bool | None = None, **_ignored):
+                    t_budget=None, prep_group: int | None = None,
+                    interpret: bool | None = None, **_ignored):
     """v3 Pallas trace: front-to-back sweep + early termination + HBM DMA.
 
     The BVH-style engine for large scenes: chunk visits stop at the block's
     nearest hits instead of scanning every overlapped chunk. Exact (the
     termination criterion is conservative); parity-tested against brute.
     t_budget: optional (R,) per-ray sweep cap (see trace/api.py).
+    prep_group: chunks per culling supergroup (coarser ranking, one DMA +
+    inner loop per visit). Measured worse than 1 on dense 1M-triangle
+    scenes (coarser culling multiplies kernel work faster than it cuts
+    prep); kept as a knob for sparse/huge scenes. Default 1.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     chunk_size = scene.verts.shape[0] // scene.chunk_aabb_lo.shape[0]
+    n_chunks = scene.chunk_aabb_lo.shape[0]
     if chunk_size % 8 != 0:
         raise ValueError(
             f"pallas trace needs chunk_size % 8 == 0, got {chunk_size}")
     if ray_block % 128 != 0:
         raise ValueError(f"ray_block must be a multiple of 128, got {ray_block}")
-    impl = _v3_callable(chunk_size, ray_block, float(t_min), float(t_max),
-                        interpret)
+    del n_chunks
+    group = prep_group or 1
+    impl = _v3_callable(chunk_size, ray_block, group, float(t_min),
+                        float(t_max), interpret)
     origs = jnp.asarray(origs)
     budget = (jnp.full(origs.shape[:-1], t_max, jnp.float32)
               if t_budget is None else jnp.asarray(t_budget, jnp.float32))

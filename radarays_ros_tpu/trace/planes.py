@@ -133,8 +133,10 @@ def trace_planes(scene, origs, dirs, t_min: float = 0.0, t_max: float = 1000.0,
             best_idx = jnp.where(better, base + local, best_idx)
             return (best_t, best_idx), None
 
-        init = (jnp.full((ray_block,), jnp.inf, jnp.float32),
-                jnp.zeros((ray_block,), jnp.int32))
+        # carry init derived from both ray operands so the scan type-checks
+        # inside shard_map (origins/dirs may vary over different mesh axes)
+        zeros = (ob[:, 0] + db[:, 0]) * 0.0
+        init = (zeros + jnp.inf, zeros.astype(jnp.int32))
         bases = jnp.arange(n_tchunks, dtype=jnp.int32) * tri_chunk
         (best_t, best_idx), _ = jax.lax.scan(tchunk_body, init, (po, pd, bases))
         return best_t, best_idx
@@ -246,8 +248,12 @@ def trace_planes_culled(scene, origs, dirs, t_min: float = 0.0,
                                  best_idx)
             return i + 1, best_t, best_idx
 
-        init = (jnp.int32(0), jnp.full((RB,), jnp.inf, jnp.float32),
-                jnp.zeros((RB,), jnp.int32))
+        # derive the carry init from BOTH ray operands: fresh constants (or
+        # origin-only derivation) would fail the while_loop's varying-axes
+        # type check when this runs inside shard_map with origins and
+        # directions varying over different mesh axes
+        zeros = (ob[:, 0] + db[:, 0]) * 0.0
+        init = (jnp.int32(0), zeros + jnp.inf, zeros.astype(jnp.int32))
         _, best_t, best_idx = jax.lax.while_loop(cond, body, init)
         return best_t, best_idx
 

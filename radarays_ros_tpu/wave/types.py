@@ -71,14 +71,21 @@ def make_start_wave_attrs(
 
 def broadcast_waves(orig, dir, attrs: dict, batch_shape) -> Waves:
     """Build a Waves bundle from geometry plus scalar attributes."""
-    ones = jnp.ones(batch_shape, jnp.float32)
+    orig_b = jnp.broadcast_to(orig, batch_shape + (3,)).astype(jnp.float32)
+    dir_b = jnp.broadcast_to(dir, batch_shape + (3,)).astype(jnp.float32)
+    orig_b = orig_b + dir_b * 0.0  # unify varying axes (see below)
+    # derive the attribute fields from the geometry (value 1.0) rather than
+    # fresh constants: under shard_map, the bounce scan's carry must have
+    # the same varying mesh axes as the body output, which the geometry
+    # determines (parallel/sharding.py 2-D path)
+    ones = orig_b[..., 0] * 0.0 + dir_b[..., 0] * 0.0 + 1.0
     return Waves(
-        orig=jnp.broadcast_to(orig, batch_shape + (3,)).astype(jnp.float32),
-        dir=jnp.broadcast_to(dir, batch_shape + (3,)).astype(jnp.float32),
+        orig=orig_b,
+        dir=dir_b,
         energy=ones * attrs["energy"],
         polarization=ones * attrs["polarization"],
         velocity=ones * attrs["velocity"],
         time=ones * attrs["time"],
-        material_id=jnp.broadcast_to(attrs["material_id"], batch_shape).astype(jnp.int32),
-        valid=jnp.ones(batch_shape, bool),
+        material_id=(ones * attrs["material_id"]).astype(jnp.int32),
+        valid=ones > 0.5,
     )

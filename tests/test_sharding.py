@@ -82,3 +82,43 @@ def test_mesh_size_divides_angles_checked(setup):
     bad_poses = np.tile(identity_pose(), (cfg.n_angles + 1, 1))
     with pytest.raises(AssertionError):
         simulate_frame_sharded(scene, params, cfg, bad_poses, key, mesh)
+
+
+def test_2d_sharded_frame_matches_single_device(setup):
+    """az x smp shard_map path: bit-comparable to the unsharded frame
+    (same PRNG fields, psum-combined binning)."""
+    from radarays_ros_tpu.parallel.sharding import (
+        make_mesh_2d, simulate_frame_sharded_2d)
+
+    scene, params, cfg, poses, key = setup
+    mesh = make_mesh_2d(n_az=len(jax.devices()) // 2, n_smp=2)
+    ref = simulate_frame(scene, params, cfg, poses, key)
+    got = simulate_frame_sharded_2d(scene, params, cfg, poses, key, mesh)
+    np.testing.assert_allclose(np.asarray(ref.image_float),
+                               np.asarray(got.image_float),
+                               rtol=1e-5, atol=1e-4)
+    # psum reassociates the f32 splat sums: tiny cross-shard rounding drift
+    np.testing.assert_allclose(np.asarray(ref.max_val),
+                               np.asarray(got.max_val), rtol=1e-4, atol=1e-4)
+    diff = np.abs(np.asarray(ref.image_u8, np.int32)
+                  - np.asarray(got.image_u8, np.int32))
+    assert np.mean(diff > 1) < 0.001
+
+
+def test_2d_sharded_max_combine_and_scroll(setup):
+    """pmax combination (no denoise) + global scroll placement across
+    azimuth shards."""
+    from radarays_ros_tpu.parallel.sharding import (
+        make_mesh_2d, simulate_frame_sharded_2d)
+
+    scene, params, cfg, poses, key = setup
+    cfg = cfg.replace(signal_denoising=0, scroll_image=3, ambient_noise=1)
+    mesh = make_mesh_2d(n_az=len(jax.devices()) // 2, n_smp=2)
+    ref = simulate_frame(scene, params, cfg, poses, key)
+    got = simulate_frame_sharded_2d(scene, params, cfg, poses, key, mesh)
+    np.testing.assert_allclose(np.asarray(ref.image_float),
+                               np.asarray(got.image_float),
+                               rtol=1e-5, atol=1e-4)
+    diff = np.abs(np.asarray(ref.image_u8, np.int32)
+                  - np.asarray(got.image_u8, np.int32))
+    assert np.mean(diff > 1) < 0.001

@@ -197,6 +197,38 @@ def test_per_ray_budget_contract(engine, rng):
         np.full((~exp_hit).sum(), INVALID_OBJ_ID))
 
 
+@pytest.mark.parametrize("prep_group", [2, 4, 8])
+def test_pallas_v3_supergroup_parity(prep_group, rng):
+    """Supergrouped culling (prep_group chunks per ranked supergroup) must
+    stay exact, including when the chunk count is not divisible by the
+    group (never-hit padding chunks) and with per-ray budgets."""
+    from radarays_ros_tpu.geom.primitives import make_urban_scene
+
+    parts, names = make_urban_scene(n_buildings=24, extent=60.0, seed=3)
+    scene = Scene.compose(parts, names, chunk_size=16)
+    sa = scene.device_arrays()
+    assert sa.chunk_aabb_lo.shape[0] % prep_group != 0 or prep_group == 2
+
+    n = 300
+    az = rng.uniform(0, 2 * np.pi, n)
+    el = rng.uniform(-0.05, 0.3, n)
+    d = np.stack([np.cos(el) * np.cos(az), np.cos(el) * np.sin(az),
+                  np.sin(el)], -1)
+    o = np.broadcast_to(np.array([0, 0, 2.0], np.float32), (n, 3))
+    o, d = jnp.asarray(o, jnp.float32), jnp.asarray(d, jnp.float32)
+    bud = jnp.asarray(rng.choice([15.0, 60.0, 1000.0], n), jnp.float32)
+
+    ref = trace(sa, o, d, engine="brute", t_budget=bud)
+    got = trace(sa, o, d, engine="pallas3", ray_block=128, t_budget=bud,
+                prep_group=prep_group)
+    hit = np.asarray(ref.hit)
+    np.testing.assert_array_equal(hit, np.asarray(got.hit))
+    np.testing.assert_allclose(np.asarray(ref.t)[hit], np.asarray(got.t)[hit],
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(ref.obj_id),
+                                  np.asarray(got.obj_id))
+
+
 def test_pallas_v3_exact_with_escaping_rays(rng):
     """Early termination with per-lane overlap exhaustion: blocks mixing
     hitting rays, sky rays (never hit anything) and block padding (301 rays,
