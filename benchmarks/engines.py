@@ -34,6 +34,51 @@ def median_time(fn, n=5):
     return float(np.median(ts))
 
 
+def saturated_trace(sa, n_rays: int, coherent: bool, seed: int = 0):
+    """pallas3 Mrays/s at saturation (BASELINE.md's companion metric).
+
+    Large ray counts make on-device time dominate the relay round-trip
+    (standalone small-batch timings over-count by ~50-100 ms/fetch).
+    coherent = azimuth-major radar fan; incoherent = random directions
+    from random origins (worst case for block-level culling).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from radarays_ros_tpu.trace.api import trace
+
+    rng = np.random.default_rng(seed)
+    if coherent:
+        A = 400
+        S = n_rays // A
+        az = np.repeat(np.linspace(0, 2 * np.pi, A, endpoint=False), S)
+        el = np.tile(rng.normal(0, 0.06, S), A)
+        d = np.stack([np.cos(el) * np.cos(az), np.cos(el) * np.sin(az),
+                      np.sin(el)], -1).astype(np.float32)
+        o = np.broadcast_to(np.array([0, 0, 2.0], np.float32), d.shape)
+    else:
+        d = rng.normal(size=(n_rays, 3))
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        lo = np.asarray(sa.chunk_aabb_lo).min(0)
+        hi = np.asarray(sa.chunk_aabb_hi).max(0)
+        span = np.clip(hi - lo, 0, 1e4)
+        o = (lo + rng.uniform(0.1, 0.9, size=(n_rays, 3)) * span)
+    o_j = jnp.asarray(o, jnp.float32)
+    d_j = jnp.asarray(d, jnp.float32)
+
+    @jax.jit
+    def run(dd):
+        r = trace(sa, o_j, dd, engine="pallas3", ray_block=2048)
+        return jnp.sum(jnp.where(jnp.isfinite(r.t), r.t, 0.0)), \
+            jnp.mean(r.hit.astype(jnp.float32))
+
+    _, hr = run(d_j)
+    hr = float(hr)
+    dt = median_time(lambda i: float(run(d_j * (1.0 + 1e-6 * (i + 1)))[0]),
+                     n=3)
+    return len(d) / dt / 1e6, dt, hr
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--buildings", type=int, default=800)
@@ -41,6 +86,9 @@ def main():
     ap.add_argument("--frames", type=int, default=10)
     ap.add_argument("--chunk-size", type=int, default=256)
     ap.add_argument("--engines", default="mxu,culled,pallas3")
+    ap.add_argument("--saturated", action="store_true",
+                    help="only run the saturated pallas3 Mrays/s suite "
+                         "(1M and 4M rays, coherent + incoherent)")
     args = ap.parse_args()
 
     import jax
@@ -57,6 +105,18 @@ def main():
     print(json.dumps({"device": str(jax.devices()[0]),
                       "n_triangles": scene.n_triangles,
                       "n_chunks": sa.chunk_aabb_lo.shape[0]}))
+
+    if args.saturated:
+        for n_rays in (1_048_576, 4_194_304):
+            for coherent in (True, False):
+                mrays, dt, hr = saturated_trace(sa, n_rays, coherent)
+                print(json.dumps({
+                    "bench": "saturated_trace", "engine": "pallas3",
+                    "rays": n_rays,
+                    "mode": "coherent" if coherent else "incoherent",
+                    "mrays_per_sec": round(mrays, 2),
+                    "ms": round(dt * 1e3, 1), "hit_rate": round(hr, 4)}))
+        return
 
     rng = np.random.default_rng(0)
     # radar-like rays: azimuth-major coherent fan from a central sensor

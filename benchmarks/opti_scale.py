@@ -1,0 +1,168 @@
+"""Material optimization at workload scale: gradient vs black-box.
+
+The reference fits a 10-dim parameter vector [beam_width, n_reflections,
+(velocity, ambient, diffuse, specular) x {wall, glass}] by black-box
+scipy.shgo over ROS action round-trips (scripts/radaray_opti.py:116-229).
+This benchmark runs the same recovery problem at workload scale — an urban
+scene, a short trajectory, a MULTI-FRAME loss — both ways:
+
+  * gradient: optax Adam through the differentiable jitted simulator
+    (opti/optimize.py:optimize_gradient), checkpoint saved mid-run and
+    resumed (exercising opti/checkpoint.py at scale);
+  * black-box: the scipy-free shgo stand-in with the same objective.
+
+Scores evaluations-to-target (first evaluation whose loss reaches within
+`--margin` dB of the true-parameter loss) and wall time. Prints one JSON
+line per phase; results are recorded in docs/PERFORMANCE.md.
+
+Usage: python benchmarks/opti_scale.py [--steps 60] [--buildings 200]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--buildings", type=int, default=200)
+    ap.add_argument("--steps", type=int, default=60)
+    ap.add_argument("--frames", type=int, default=3)
+    ap.add_argument("--margin", type=float, default=3.0,
+                    help="target = true-params loss + margin [dB]")
+    ap.add_argument("--checkpoint", default="/tmp/opti_scale_ck.npz")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      str(Path(__file__).resolve().parent.parent / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from radarays_ros_tpu.geom.primitives import make_urban_scene
+    from radarays_ros_tpu.geom.scene import Scene
+    from radarays_ros_tpu.io.trajectory import Trajectory
+    from radarays_ros_tpu.opti.checkpoint import load_checkpoint, save_checkpoint
+    from radarays_ros_tpu.opti.metrics import psnr
+    from radarays_ros_tpu.opti.optimize import (
+        ParamVector, optimize_black_box, optimize_gradient)
+    from radarays_ros_tpu.sim.config import (
+        Materials, RadarModelConfig, RadarParams)
+    from radarays_ros_tpu.sim.pipeline import (
+        float_u8_image, simulate_frame, simulate_frame_jit)
+
+    parts, names = make_urban_scene(n_buildings=args.buildings, extent=150.0,
+                                    seed=11)
+    scene = Scene.compose(parts, names, chunk_size=256)
+    sa = jax.device_put(scene.device_arrays())
+    n_obj = scene.n_objects
+    print(json.dumps({"device": str(jax.devices()[0]),
+                      "n_triangles": scene.n_triangles}), flush=True)
+
+    # true materials: wall (slot 1) on buildings, "glass" (slot 2) on the
+    # ground; both slots tuned — 8 material dims + beam width = 9-dim vector
+    true_mats = Materials.from_list([
+        dict(velocity=0.3, ambient=1.0, diffuse=0.0, specular=1.0),
+        dict(velocity=0.0, ambient=0.85, diffuse=0.15, specular=900.0),
+        dict(velocity=0.0, ambient=0.35, diffuse=0.6, specular=150.0),
+    ])
+    object_materials = np.ones(n_obj, np.int32)
+    object_materials[0] = 2  # ground
+    true_params = RadarParams.make(true_mats, object_materials,
+                                   beam_width_deg=10.0)
+
+    cfg = RadarModelConfig(
+        n_angles=200, n_cells=1024, resolution=0.125, n_samples=12,
+        n_reflections=2, beam_sample_dist=2, energy_max=0.72,
+        signal_max=110.0, signal_denoising=1,
+        signal_denoising_triangular_width=17,
+        signal_denoising_triangular_mode=0.35, ambient_noise=0,
+        record_multi_reflection=True, opaque_materials=True)
+
+    traj = Trajectory.circular(radius=25.0, n=args.frames, period=8.0)
+    poses = jnp.asarray(np.stack([traj.pose_at(t) + np.array(
+        [0, 0, 2.0, 0, 0, 0, 0], np.float32) for t in traj.stamps]))
+    key = jax.random.PRNGKey(3)
+
+    # multi-frame targets at the TRUE parameters
+    targets = []
+    for i in range(args.frames):
+        res = simulate_frame_jit(sa, jax.device_put(true_params), cfg,
+                                 poses[i], jax.random.fold_in(key, i))
+        targets.append(float_u8_image(res, cfg))
+    targets = jnp.stack([jax.device_put(t) for t in targets])
+
+    def loss_of_params(p):
+        losses = []
+        for i in range(args.frames):
+            res = simulate_frame(sa, p, cfg, poses[i],
+                                 jax.random.fold_in(key, i))
+            losses.append(-psnr(float_u8_image(res, cfg), targets[i]))
+        return jnp.mean(jnp.stack(losses))
+
+    loss_jit = jax.jit(loss_of_params)
+    true_loss = float(loss_jit(jax.device_put(true_params)))
+    target_loss = true_loss + args.margin
+    print(json.dumps({"true_loss_db": round(-true_loss, 2),
+                      "target_loss_db": round(-target_loss, 2)}), flush=True)
+
+    # perturbed start: both tuned slots badly wrong
+    start_mats = Materials.from_list([
+        dict(velocity=0.3, ambient=1.0, diffuse=0.0, specular=1.0),
+        dict(velocity=0.0, ambient=0.3, diffuse=0.6, specular=150.0),
+        dict(velocity=0.0, ambient=0.9, diffuse=0.05, specular=2000.0),
+    ])
+    start = RadarParams.make(start_mats, object_materials, beam_width_deg=7.0)
+    pv = ParamVector(material_slots=(1, 2), tune_n_reflections=False,
+                     tune_beam_width=True)
+
+    def evals_to_target(history):
+        for i, v in enumerate(history):
+            if v <= target_loss:
+                return i + 1
+        return None
+
+    # --- gradient path, split in two halves around a checkpoint
+    t0 = time.time()
+    half = max(args.steps // 2, 1)
+    res1 = optimize_gradient(loss_of_params, start, pv, steps=half, lr=0.08)
+    save_checkpoint(args.checkpoint, res1.params, vec=res1.vec,
+                    history=res1.history, step=half)
+    resumed, extras = load_checkpoint(args.checkpoint)
+    res2 = optimize_gradient(loss_of_params, resumed, pv,
+                             steps=args.steps - half, lr=0.04)
+    grad_hist = list(res1.history) + list(res2.history)
+    grad_wall = time.time() - t0
+    print(json.dumps({
+        "bench": "opti_gradient", "steps": args.steps,
+        "final_psnr_db": round(-min(grad_hist), 2),
+        "evals_to_target": evals_to_target(grad_hist),
+        "resumed_from_step": int(extras["step"]),
+        "wall_s": round(grad_wall, 1)}), flush=True)
+
+    # --- black-box with the same evaluation budget
+    t0 = time.time()
+    f = jax.jit(lambda v: loss_of_params(pv.to_params(start, v)[0]))
+    _, bb_best, bb_hist = optimize_black_box(
+        lambda v: float(f(jnp.asarray(v, jnp.float32))), pv.bounds(),
+        n_seeds=max(args.steps // 4, 4), iters=args.steps, seed=1,
+        x0=pv.to_vec(start))
+    bb_wall = time.time() - t0
+    print(json.dumps({
+        "bench": "opti_black_box", "evaluations": len(bb_hist),
+        "final_psnr_db": round(-bb_best, 2),
+        "evals_to_target": evals_to_target(bb_hist),
+        "wall_s": round(bb_wall, 1)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

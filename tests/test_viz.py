@@ -112,3 +112,54 @@ def test_fresnel_curve_physics():
 
     c2 = fresnel_curve(v1=0.15, v2=0.3)  # exiting into a faster medium
     assert any(c2["total_internal_reflection"])     # TIR beyond critical angle
+
+
+def test_slab_explorer_energy_and_snell():
+    """2-D multi-media explorer (scripts/reflections/snell_multi.py class):
+    energy conservation at each split and Snell refraction across the slab."""
+    import numpy as np
+
+    from radarays_ros_tpu.viz.reflections import propagate_slab_rays
+
+    out = propagate_slab_rays(
+        depths=[0.0, -0.2], velocities=[0.3, 0.15, 0.3],
+        origin=(0.0, 0.5), direction=(0.6, -0.8), n_bounces=3)
+    segs = out["segments"]
+    assert len(segs) >= 3
+    # first segment: from the origin down to the first interface
+    assert segs[0]["p1"][1] == pytest.approx(0.0, abs=1e-9)
+    assert segs[0]["energy"] == 1.0
+
+    # the two children of the first hit carry Reff + Teff = 1 (one-bounce
+    # run so no later generation also originates at y = 0)
+    out1 = propagate_slab_rays(
+        depths=[0.0, -0.2], velocities=[0.3, 0.15, 0.3],
+        origin=(0.0, 0.5), direction=(0.6, -0.8), n_bounces=1)
+    children = [s for s in out1["segments"] + out1["leaks"]
+                if abs(np.asarray(s["p0"])[1]) < 1e-5]
+    assert sum(c["energy"] for c in children) == pytest.approx(1.0, rel=1e-5)
+
+    # refraction into the slower medium bends TOWARD the normal
+    inside = [s for s in segs if s["medium"] == 1]
+    assert inside
+    d_in = np.asarray(inside[0]["p1"]) - np.asarray(inside[0]["p0"])
+    d_in /= np.linalg.norm(d_in)
+    sin_in = abs(d_in[0])
+    # Snell with n ~ 1/v: sin_t = sin_i * v2/v1 = 0.6 * 0.5
+    assert sin_in == pytest.approx(0.3, abs=1e-4)
+
+
+def test_slab_explorer_total_internal_reflection():
+    """A shallow ray inside the fast-to-slow... slow-to-fast interface
+    beyond the critical angle reflects totally (no refraction child)."""
+    from radarays_ros_tpu.viz.reflections import propagate_slab_rays
+
+    # start inside the slow slab, shallow ray upward: sin_i = ~0.94 > v1/v2
+    out = propagate_slab_rays(
+        depths=[0.0, -0.5], velocities=[0.3, 0.15, 0.3],
+        origin=(0.0, -0.25), direction=(0.94, 0.34), n_bounces=1)
+    kids = [s for s in out["segments"] + out["leaks"]
+            if abs(s["p0"][1]) < 1e-5]
+    assert len(kids) == 1            # reflection only
+    assert kids[0]["energy"] == pytest.approx(1.0, rel=1e-5)
+    assert kids[0]["medium"] == 1    # still inside the slab
