@@ -184,6 +184,89 @@ def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, o_ref, d_ref,
             b.wait()
 
 
+def _prep_kernel(lo_ref, hi_ref, o_ref, idv_ref, bud_ref,
+                 entry_ref, tlast_ref, *, ct: int, n_ctiles: int,
+                 t_max: float):
+    """Fused culling prep: slab-test one ray tile against every chunk.
+
+    One grid cell = (ray block, ray tile): the inner static loop sweeps all
+    chunk tiles with the AABB table VMEM-resident, producing this tile's
+    contribution to the per-chunk block entry (min over rays) and each
+    ray's exhaustion bound t_last (max over its overlapped chunks). The
+    equivalent XLA prep materializes (rays x chunks) intermediates in HBM
+    and dominated the 1M-triangle frame (~100 ms of a ~170 ms trace,
+    docs/PERFORMANCE.md); here every tile lives in VMEM.
+    """
+    o = o_ref[0]          # (3, RBt)
+    idv = idv_ref[0]      # (3, RBt)
+    cap = jnp.minimum(jnp.float32(t_max), bud_ref[0])   # (1, RBt)
+    alive = cap > 0.0
+
+    tl = jnp.full(cap.shape, -jnp.inf, jnp.float32)
+    for j in range(n_ctiles):
+        sl = slice(j * ct, (j + 1) * ct)
+        t_near = None
+        t_far = None
+        for k in range(3):
+            lo_k = lo_ref[sl, k:k + 1]                  # (Ct, 1)
+            hi_k = hi_ref[sl, k:k + 1]
+            o_k = o[k:k + 1, :]                         # (1, RBt)
+            idv_k = idv[k:k + 1, :]
+            t0 = (lo_k - o_k) * idv_k                   # (Ct, RBt)
+            t1 = (hi_k - o_k) * idv_k
+            tn_k = jnp.minimum(t0, t1)
+            tf_k = jnp.maximum(t0, t1)
+            t_near = tn_k if t_near is None else jnp.maximum(t_near, tn_k)
+            t_far = tf_k if t_far is None else jnp.minimum(t_far, tf_k)
+        tn0 = jnp.maximum(t_near, 0.0)
+        keep = (t_far >= tn0) & (t_near <= cap) & alive
+        tn_eff = jnp.where(keep, tn0, jnp.inf)
+        entry_ref[0, sl, :] = jnp.min(tn_eff, axis=1, keepdims=True)
+        tl = jnp.maximum(tl, jnp.max(jnp.where(keep, tn0, -jnp.inf),
+                                     axis=0, keepdims=True))
+    tlast_ref[0] = tl
+
+
+def _run_prep_kernel(lo, hi, o_aug, inv_d_t, bud_b, *, Cp: int, RB: int,
+                     n_blocks: int, t_max: float, interpret: bool):
+    """entry (B, Cp) + t_last (B, RB) via the fused prep kernel."""
+    ct = min(512, Cp)
+    n_ctiles = Cp // ct
+    rbt = min(256, RB)
+    I = RB // rbt
+    G = n_blocks * I
+
+    entry_part, t_last = pl.pallas_call(
+        functools.partial(_prep_kernel, ct=ct, n_ctiles=n_ctiles,
+                          t_max=float(t_max)),
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # lo (Cp, 3), resident
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # hi (Cp, 3)
+            pl.BlockSpec((1, 3, rbt), lambda g: (g // I, 0, g % I),
+                         memory_space=pltpu.VMEM),   # ray origins
+            pl.BlockSpec((1, 3, rbt), lambda g: (g // I, 0, g % I),
+                         memory_space=pltpu.VMEM),   # 1/dir
+            pl.BlockSpec((1, 1, rbt), lambda g: (g // I, 0, g % I),
+                         memory_space=pltpu.VMEM),   # budget
+        ],
+        out_specs=[
+            pl.BlockSpec((1, Cp, 1), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, rbt), lambda g: (g // I, 0, g % I),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((G, Cp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, 1, RB), jnp.float32),
+        ],
+        interpret=interpret,
+    )(lo, hi, o_aug, inv_d_t, bud_b)
+
+    entry = jnp.min(entry_part.reshape(n_blocks, I, Cp), axis=1)
+    return entry, t_last.reshape(n_blocks, 1, RB)
+
+
 def _v3_callable(chunk_size: int, ray_block: int, group: int, t_min: float,
                  t_max: float, interpret: bool):
     """Build the v3 impl with a custom vmap rule: batched rays flatten into
@@ -270,32 +353,33 @@ def _trace_pallas_v3_impl(planes_o, planes_d, chunk_lo, chunk_hi, origs, dirs,
         [pd_rows, jnp.zeros((C, 4, tc, 1), jnp.float32)], axis=-1
     ).reshape(C * 4 * tc, 4).T
 
-    # per-block front-to-back SUPERGROUP ranking + entries (XLA prep).
-    # Prep is O(rays x C/group): `group` is the lever that keeps this cheap
-    # at scale (the kernel's inner loop keeps compute granularity at tc).
+    # per-block front-to-back SUPERGROUP ranking + entries, via the fused
+    # Pallas prep kernel (_prep_kernel): the pure-XLA formulation of this
+    # step materialized (rays x chunks) intermediates in HBM and dominated
+    # the 1M-triangle trace (~100 of ~170 ms). Padding lanes [R:] and
+    # budget-dead rays get budget 0 (cap > 0 fails): they contribute no
+    # entries and carry t_last = -inf (never veto termination). The per-ray
+    # budget prunes the same way: a chunk a ray only enters beyond its
+    # budget cannot hold a within-budget hit for it (the uniform miss-mask
+    # for beyond-budget hits lives in trace/api.py).
     inv_d = 1.0 / jnp.where(jnp.abs(d) > _DIR_EPS, d,
                             jnp.where(d >= 0, _DIR_EPS, -_DIR_EPS))
-    t_near, overlap = _ray_aabb(o, inv_d, sg_lo, sg_hi)   # (B*RB, C2)
-    # padding lanes [R:] and budget-dead rays (cap <= 0) are excluded up
-    # front: they contribute no entries and carry t_last = -inf (never veto
-    # termination). The per-ray budget prunes the same way: a chunk a ray
-    # only enters beyond its budget cannot hold a within-budget hit for it
-    # (the uniform miss-mask for beyond-budget hits lives in trace/api.py).
-    lane_ok = (jnp.arange(o.shape[0]) < R)[:, None]
-    cap = jnp.minimum(jnp.float32(t_max), bud)[:, None]
-    keep = lane_ok & overlap & (t_near <= cap) & (cap > 0.0)
-    t_near = jnp.where(keep, jnp.maximum(t_near, 0.0), jnp.inf)
-    entry = jnp.min(t_near.reshape(n_blocks, RB, C2), axis=1)  # (B, C2)
+    inv_d_t = inv_d.reshape(n_blocks, RB, 3).transpose(0, 2, 1)  # (B, 3, RB)
+    bud_live = jnp.where(jnp.arange(o.shape[0]) < R, bud, 0.0)
+    bud_b = bud_live.reshape(n_blocks, 1, RB)
+    ct = min(512, max(8, C2))
+    Cp2 = -(-C2 // ct) * ct
+    far = jnp.full((Cp2 - C2, 3), 1e9, jnp.float32)
+    entry, t_last = _run_prep_kernel(
+        jnp.concatenate([sg_lo, far], axis=0),
+        jnp.concatenate([sg_hi, far + 1.0], axis=0),
+        o_aug[:, :3, :], inv_d_t, bud_b,
+        Cp=Cp2, RB=RB, n_blocks=n_blocks, t_max=t_max, interpret=interpret)
+    entry = entry[:, :C2]                                      # (B, C2)
     order = jnp.argsort(entry, axis=1).astype(jnp.int32)       # (B, C2)
     entry_ranked = jnp.take_along_axis(entry, order, axis=1)  # sorted asc
     nvisit = jnp.sum(jnp.isfinite(entry_ranked), axis=1,
                      keepdims=True).astype(jnp.int32)        # (B, 1)
-    # per-lane exhaustion bound: the largest entry among the lane's own
-    # overlapped chunks (see the kernel docstring for the exactness proof).
-    # One fused reduction — this replaced a rank-based formulation (two
-    # argsorts + a gathered (B, RB, C) pass) that dominated prep at scale.
-    t_last = jnp.max(jnp.where(keep, t_near, -jnp.inf), axis=1)
-    t_last = t_last.reshape(n_blocks, 1, RB)
     # pad the ranked tables so their (8, Cp/8) tile shape is aligned; the
     # entry padding is +inf so the termination test holds at k+1 == n == C2
     Cp = ((C2 + 1 + 1023) // 1024) * 1024
