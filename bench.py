@@ -72,7 +72,7 @@ def build_benchmark(n_buildings: int):
     return scene.device_arrays(), params, cfg, key
 
 
-def measure_scale(n_buildings: int, n_iters: int = 7, batch: int = 10):
+def measure_scale(n_buildings: int, n_iters: int = 7, batch: int = 20):
     """Fenced frame throughput at one scene scale.
 
     NOTE on methodology: through the axon relay, block_until_ready() does
@@ -82,7 +82,8 @@ def measure_scale(n_buildings: int, n_iters: int = 7, batch: int = 10):
     Returns (best_hz, trimmed_median_hz, n_triangles): the best batch is
     the cleanest device-throughput estimate under relay stalls; the
     trimmed median (drop the best and worst batch) is the robust companion
-    (docs/PERFORMANCE.md).
+    (docs/PERFORMANCE.md). Batches of 20 frames keep the one unavoidable
+    fetch round-trip (~30-100 ms) under ~10% of the batch.
     """
     import jax
     import jax.numpy as jnp
@@ -151,7 +152,7 @@ def main():
             "rays_per_frame": rays_per_frame,
             "device": str(jax.devices()[0]),
             "trace_engine": cfg.trace_engine,
-            "batch": 10,
+            "batch": 20,
             "fenced": "checksum-fetch per batch; best + trimmed median of 7",
         },
     }))

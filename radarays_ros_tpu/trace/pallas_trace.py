@@ -40,7 +40,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from radarays_ros_tpu.trace.planes import _DIR_EPS, _finalize, _ray_aabb
+from radarays_ros_tpu.trace.planes import _DIR_EPS, _finalize
 
 _INSIDE_EPS = 1e-5  # meters (edge planes are unit-normalized); planes.py:33
 _BIG_IDX = 2**30  # python literal: jnp constants would be captured by the kernel
@@ -113,6 +113,9 @@ def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, o_ref, d_ref,
         a.start()
         b.start()
 
+        # loop-invariant: triangle row index within a chunk (argmin helper)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (tc, o.shape[1]), 0)
+
         def cond(carry):
             k, done = carry
             return (k < n) & jnp.logical_not(done)
@@ -143,17 +146,18 @@ def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, o_ref, d_ref,
                 sd = jax.lax.dot_general(pd_g, d, dn,
                                          preferred_element_type=jnp.float32)
                 so_s, sd_s = so[0:tc], sd[0:tc]
-                denom_ok = jnp.abs(sd_s) > _DIR_EPS
-                t = -so_s / jnp.where(denom_ok, sd_s, 1.0)
+                # IEEE semantics replace the denominator guard: sd == 0
+                # gives t = +-inf (rejected by the range test) or NaN
+                # (so == 0 too; every comparison rejects NaN)
+                t = -so_s / sd_s
                 inside = (
                     (so[tc:2 * tc] + t * sd[tc:2 * tc] >= -_INSIDE_EPS)
                     & (so[2 * tc:3 * tc] + t * sd[2 * tc:3 * tc] >= -_INSIDE_EPS)
                     & (so[3 * tc:4 * tc] + t * sd[3 * tc:4 * tc] >= -_INSIDE_EPS)
                 )
-                hit = denom_ok & inside & (t >= t_min) & (t <= t_max)
+                hit = inside & (t >= t_min) & (t <= t_max)
                 t_masked = jnp.where(hit, t, jnp.inf)             # (Tc, RB)
                 local_t = jnp.min(t_masked, axis=0, keepdims=True)
-                rows = jax.lax.broadcasted_iota(jnp.int32, t_masked.shape, 0)
                 local_i = jnp.min(
                     jnp.where(t_masked == local_t, rows, _BIG_IDX),
                     axis=0, keepdims=True)
@@ -453,13 +457,11 @@ def trace_pallas_v3(scene, origs, dirs, t_min: float = 0.0,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     chunk_size = scene.verts.shape[0] // scene.chunk_aabb_lo.shape[0]
-    n_chunks = scene.chunk_aabb_lo.shape[0]
     if chunk_size % 8 != 0:
         raise ValueError(
             f"pallas trace needs chunk_size % 8 == 0, got {chunk_size}")
     if ray_block % 128 != 0:
         raise ValueError(f"ray_block must be a multiple of 128, got {ray_block}")
-    del n_chunks
     group = prep_group or 1
     impl = _v3_callable(chunk_size, ray_block, group, float(t_min),
                         float(t_max), interpret)
