@@ -86,7 +86,9 @@ def main():
         signal_max=110.0, signal_denoising=1,
         signal_denoising_triangular_width=17,
         signal_denoising_triangular_mode=0.35, ambient_noise=0,
-        record_multi_reflection=True, opaque_materials=True)
+        # the optimizer explores nonzero velocities, so the opaque fast
+        # path (which drops refraction children) must stay OFF
+        record_multi_reflection=True, opaque_materials=False)
 
     traj = Trajectory.circular(radius=25.0, n=args.frames, period=8.0)
     poses = jnp.asarray(np.stack([traj.pose_at(t) + np.array(

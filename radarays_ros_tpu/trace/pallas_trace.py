@@ -466,11 +466,20 @@ def trace_pallas_v3(scene, origs, dirs, t_min: float = 0.0,
     impl = _v3_callable(chunk_size, ray_block, group, float(t_min),
                         float(t_max), interpret)
     origs = jnp.asarray(origs)
+    dirs = jnp.asarray(dirs)
     budget = (jnp.full(origs.shape[:-1], t_max, jnp.float32)
               if t_budget is None else jnp.asarray(t_budget, jnp.float32))
+    # Differentiation contract: the kernel picks WHICH triangle wins
+    # (discrete — no useful derivative, and pallas_call has no AD rule);
+    # the hit DISTANCE is then recomputed differentiably against that
+    # triangle by _finalize's Moller-Trumbore refinement. Stopping
+    # tangents into the kernel makes d(t)/d(origs, dirs) flow through the
+    # refinement — the exact gradient conditional on the discrete hit —
+    # so beam-width/pose optimization works on the production engine.
+    sg = jax.lax.stop_gradient
     best_t, best_idx = impl(
         jnp.asarray(scene.planes_o), jnp.asarray(scene.planes_d),
         jnp.asarray(scene.chunk_aabb_lo), jnp.asarray(scene.chunk_aabb_hi),
-        origs, jnp.asarray(dirs), budget,
+        sg(origs), sg(dirs), sg(budget),
     )
-    return _finalize(scene, origs, dirs, best_idx, best_t)
+    return _finalize(scene, origs, dirs, best_idx, sg(best_t))

@@ -198,6 +198,14 @@ def trace_planes_culled(scene, origs, dirs, t_min: float = 0.0,
     cs = scene.verts.shape[0] // C
     K = min(k_chunks or C, C)
 
+    # tangents stop at the sweep (lax.while_loop has no reverse-mode rule;
+    # the winner is discrete anyway) and flow through _finalize's
+    # Moller-Trumbore refinement instead — see trace_pallas_v3
+    origs_d, dirs_d = origs, dirs
+    sg = jax.lax.stop_gradient
+    origs, dirs = sg(origs), sg(dirs)
+    t_budget = None if t_budget is None else sg(t_budget)
+
     po = planes_o.reshape(C, cs * 4, 4)
     pd = planes_d.reshape(C, cs * 4, 3)
 
@@ -263,4 +271,4 @@ def trace_planes_culled(scene, origs, dirs, t_min: float = 0.0,
     best_t, best_idx = jax.lax.map(block_body, (o_blocks, d_blocks, b_blocks))
     best_t = best_t.reshape(-1)[:R]
     best_idx = best_idx.reshape(-1)[:R]
-    return _finalize(scene, origs, dirs, best_idx, best_t)
+    return _finalize(scene, origs_d, dirs_d, best_idx, best_t)

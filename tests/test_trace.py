@@ -260,3 +260,28 @@ def test_pallas_v3_exact_with_escaping_rays(rng):
     np.testing.assert_allclose(np.asarray(ref.t)[hit], np.asarray(got.t)[hit],
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_array_equal(np.asarray(ref.obj_id), np.asarray(got.obj_id))
+
+
+@pytest.mark.parametrize("engine", ["brute", "mxu", "culled", "pallas3"])
+def test_trace_distance_gradients(engine):
+    """d(t)/d(origin) must flow through every engine (via the differentiable
+    Moller-Trumbore refinement for the sweep engines — the kernels
+    themselves have no AD rules and stop tangents at their boundary).
+    Wall at x = 5: t = 5 - ox, so d(sum t)/d(ox) = -1 per hitting ray.
+    Budgets must not break differentiation (they feed the prep kernel)."""
+    import jax
+
+    wall = make_plane((5.0, 0, 0), (10.0, 10.0), normal_axis=0)
+    sa = Scene.compose([wall], ["wall"], chunk_size=8).device_arrays()
+    d = jnp.broadcast_to(jnp.array([1.0, 0, 0]), (4, 3))
+    bud = jnp.full((4,), 100.0)
+
+    def loss(ox):
+        o = jnp.stack([jnp.full((4,), ox), jnp.zeros(4), jnp.zeros(4)], -1)
+        res = trace(sa, o, d, engine=engine, t_budget=bud * (ox + 1.0),
+                    **({"ray_block": 128} if engine != "brute" else {}))
+        return jnp.sum(jnp.where(res.hit, res.t, 0.0))
+
+    g = jax.grad(loss)(0.5)
+    assert np.isfinite(float(g))
+    assert float(g) == pytest.approx(-4.0, rel=1e-4)
