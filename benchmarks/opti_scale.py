@@ -36,8 +36,9 @@ def main():
     ap.add_argument("--buildings", type=int, default=200)
     ap.add_argument("--steps", type=int, default=60)
     ap.add_argument("--frames", type=int, default=3)
-    ap.add_argument("--margin", type=float, default=3.0,
-                    help="target = true-params loss + margin [dB]")
+    ap.add_argument("--target-db", type=float, default=40.0,
+                    help="recovery target PSNR [dB] (the true parameters "
+                         "reproduce the targets near-exactly)")
     ap.add_argument("--checkpoint", default="/tmp/opti_scale_ck.npz")
     args = ap.parse_args()
 
@@ -112,10 +113,13 @@ def main():
         return jnp.mean(jnp.stack(losses))
 
     loss_jit = jax.jit(loss_of_params)
+    # the true parameters reproduce the targets near-exactly (same PRNG
+    # streams), so "reaching the true loss" is not a usable criterion;
+    # score evaluations until a fixed PSNR level instead
     true_loss = float(loss_jit(jax.device_put(true_params)))
-    target_loss = true_loss + args.margin
+    target_loss = -args.target_db
     print(json.dumps({"true_loss_db": round(-true_loss, 2),
-                      "target_loss_db": round(-target_loss, 2)}), flush=True)
+                      "target_psnr_db": args.target_db}), flush=True)
 
     # perturbed start: both tuned slots badly wrong
     start_mats = Materials.from_list([

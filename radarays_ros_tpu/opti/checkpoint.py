@@ -56,14 +56,21 @@ def save_checkpoint(path, params: RadarParams, *, vec=None, history=None,
 
 
 def load_checkpoint(path) -> Tuple[RadarParams, dict]:
-    """Load a checkpoint -> (RadarParams, extras dict with step/vec/history)."""
+    """Load a checkpoint -> (RadarParams, extras dict with step/vec/history).
+
+    Arrays come back as jnp (not NumPy): resumed params flow straight into
+    jitted/differentiated code, where NumPy leaves break traced indexing."""
+    import jax.numpy as jnp
+
     with np.load(path) as z:
         params = RadarParams(
             materials=Materials(
-                velocity=z["velocity"], ambient=z["ambient"],
-                diffuse=z["diffuse"], specular=z["specular"]),
-            object_materials=z["object_materials"],
-            beam_width=z["beam_width"],
+                velocity=jnp.asarray(z["velocity"]),
+                ambient=jnp.asarray(z["ambient"]),
+                diffuse=jnp.asarray(z["diffuse"]),
+                specular=jnp.asarray(z["specular"])),
+            object_materials=jnp.asarray(z["object_materials"]),
+            beam_width=jnp.asarray(z["beam_width"]),
         )
         extras = {"step": int(z["step"])}
         for k in ("vec", "history"):

@@ -91,7 +91,10 @@ class ParamVector:
             n_reflections = int(round(float(jax.lax.stop_gradient(vec[off]))))
             off += 1
         m = params_init.materials
-        vel, amb, dif, spe = m.velocity, m.ambient, m.diffuse, m.specular
+        # params_init may hold NumPy arrays (e.g. a loaded checkpoint,
+        # opti/checkpoint.py) — the .at updates below need jnp
+        vel, amb, dif, spe = (jnp.asarray(m.velocity), jnp.asarray(m.ambient),
+                              jnp.asarray(m.diffuse), jnp.asarray(m.specular))
         for i, s in enumerate(self.material_slots):
             vel = vel.at[s].set(vec[off + 4 * i + 0])
             amb = amb.at[s].set(vec[off + 4 * i + 1])

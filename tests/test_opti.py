@@ -192,3 +192,35 @@ def test_cli_eval(tmp_path, rng, capsys):
     import json as _json
     rep = _json.loads(out.read_text())
     assert rep["summary"]["mae"]["mean"] == 0.0
+
+
+def test_resume_checkpoint_feeds_jitted_gradient(tmp_path, box_scene,
+                                                 simple_materials):
+    """Params loaded from a checkpoint must work inside jitted/differentiated
+    code (NumPy leaves used to break traced object_materials indexing)."""
+    import jax
+
+    from radarays_ros_tpu.opti.checkpoint import load_checkpoint, save_checkpoint
+    from radarays_ros_tpu.sim.config import RadarModelConfig
+    from radarays_ros_tpu.sim.pipeline import simulate_frame
+    from radarays_ros_tpu.utils.transforms import identity_pose
+
+    params = RadarParams.make(simple_materials, [1, 2], beam_width_deg=4.0)
+    save_checkpoint(tmp_path / "ck.npz", params, step=3)
+    resumed, extras = load_checkpoint(tmp_path / "ck.npz")
+    assert extras["step"] == 3
+
+    sa = box_scene.device_arrays()
+    cfg = RadarModelConfig(n_angles=8, n_cells=32, n_samples=2,
+                           n_reflections=1, resolution=0.5,
+                           signal_denoising=0, ambient_noise=0)
+    key = jax.random.PRNGKey(0)
+
+    def loss(p):
+        res = simulate_frame(sa, p, cfg, identity_pose(), key)
+        return jnp.sum(res.image_float)
+
+    pv = ParamVector(material_slots=(1,), tune_n_reflections=False,
+                     tune_beam_width=True)
+    out = optimize_gradient(loss, resumed, pv, steps=2, lr=0.01)
+    assert np.isfinite(out.value)
