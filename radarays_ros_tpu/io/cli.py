@@ -347,6 +347,50 @@ def cmd_eval(args) -> int:
     return 0
 
 
+def cmd_explore(args) -> int:
+    """The reference's 2-D physics explorers (scripts/reflections/,
+    radaray_beams.py, radarays_snell_fresnel_brdf.py) as one tool: render
+    a panel's data as JSON and, with --plot, a figure. Runs the SAME
+    wave/ physics as the simulator."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")  # tiny host-side math
+
+    from radarays_ros_tpu.viz import explore
+
+    plot = bool(args.plot)
+    if args.panel == "brdf":
+        data, fig = explore.panel_brdf(args.ambient, args.diffuse,
+                                       args.specular, plot=plot)
+    elif args.panel == "fresnel":
+        data, fig = explore.panel_fresnel(args.v1, args.v2,
+                                          args.polarization, plot=plot)
+    elif args.panel == "slab":
+        depths = [float(x) for x in args.depths.split(",")]
+        vels = [float(x) for x in args.velocities.split(",")]
+        direction = tuple(float(x) for x in args.direction.split(","))
+        origin = tuple(float(x) for x in args.origin.split(","))
+        data, fig = explore.panel_slab(
+            depths, vels, origin=origin, direction=direction,
+            n_bounces=args.bounces, polarization=args.polarization,
+            plot=plot)
+    else:  # beams
+        data, fig = explore.panel_beams(args.beam_width, args.n_samples,
+                                        args.p_in_cone, args.seed, plot=plot)
+    if args.json:
+        Path(args.json).write_text(json.dumps(data))
+        print(f"wrote {args.json}")
+    if plot:
+        if fig is None:
+            print("matplotlib unavailable; --plot skipped", file=sys.stderr)
+            return 1
+        fig.savefig(args.plot)
+        print(f"wrote {args.plot}")
+    if not args.json and not plot:
+        print(json.dumps(data))
+    return 0
+
+
 def _common(p: argparse.ArgumentParser):
     p.add_argument("--mesh", required=True,
                    help="scene mesh (.ply/.obj/.stl/.dae)")
@@ -445,6 +489,36 @@ def build_parser() -> argparse.ArgumentParser:
     ev.add_argument("--limit", type=int)
     ev.add_argument("--out", help="write the full JSON report here")
     ev.set_defaults(fn=cmd_eval)
+
+    ex = sub.add_parser(
+        "explore", help="2-D physics explorer panels (the reference's "
+                        "scripts/reflections + beams + BRDF tools)")
+    ex.add_argument("--panel", required=True,
+                    choices=["brdf", "fresnel", "slab", "beams"])
+    ex.add_argument("--json", help="write the panel data as JSON here")
+    ex.add_argument("--plot", help="write a rendered figure (PNG) here")
+    # brdf: the back-reflection polynomial's material triple
+    ex.add_argument("--ambient", type=float, default=1.0)
+    ex.add_argument("--diffuse", type=float, default=0.2)
+    ex.add_argument("--specular", type=float, default=30.0)
+    # fresnel: wave velocity pair + polarization
+    ex.add_argument("--v1", type=float, default=0.3)
+    ex.add_argument("--v2", type=float, default=0.15)
+    ex.add_argument("--polarization", type=float, default=0.5)
+    # slab: media stack + start ray
+    ex.add_argument("--depths", default="0.0,-0.2",
+                    help="comma list of interface depths (decreasing)")
+    ex.add_argument("--velocities", default="0.3,0.15,0.3",
+                    help="comma list of len(depths)+1 media velocities")
+    ex.add_argument("--origin", default="0.0,1.0")
+    ex.add_argument("--direction", default="0.6,-0.8")
+    ex.add_argument("--bounces", type=int, default=4)
+    # beams: cone sampling
+    ex.add_argument("--beam-width", type=float, default=8.0)
+    ex.add_argument("--n-samples", type=int, default=2000)
+    ex.add_argument("--p-in-cone", type=float, default=0.8)
+    ex.add_argument("--seed", type=int, default=0)
+    ex.set_defaults(fn=cmd_explore)
     return ap
 
 

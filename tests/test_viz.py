@@ -163,3 +163,34 @@ def test_slab_explorer_total_internal_reflection():
     assert len(kids) == 1            # reflection only
     assert kids[0]["energy"] == pytest.approx(1.0, rel=1e-5)
     assert kids[0]["medium"] == 1    # still inside the slab
+
+
+def test_explore_panels_render(tmp_path):
+    """The standalone explorer (cli explore) renders every panel: data dict
+    + a savable matplotlib figure (scripts/reflections/ etc. as a tool)."""
+    from radarays_ros_tpu.viz import explore
+
+    data, fig = explore.panel_brdf(1.0, 0.2, 30.0, plot=True)
+    assert len(data["energy"]) == len(data["angle_rad"])
+    data, fig2 = explore.panel_fresnel(0.3, 0.15, plot=True)
+    assert max(data["reflectance"]) <= 1.0 + 1e-6
+    data, fig3 = explore.panel_slab([0.0, -0.2], [0.3, 0.15, 0.3], plot=True)
+    assert data["segments"]
+    data, fig4 = explore.panel_beams(n_samples=200, plot=True)
+    assert len(data) == 4
+    for i, f in enumerate([fig, fig2, fig3, fig4]):
+        assert f is not None
+        f.savefig(tmp_path / f"panel{i}.png")
+
+
+def test_explore_cli(tmp_path):
+    from radarays_ros_tpu.io.cli import main
+
+    out = tmp_path / "fresnel.json"
+    rc = main(["explore", "--panel", "fresnel", "--v1", "0.3", "--v2",
+               "0.15", "--json", str(out)])
+    assert rc == 0
+    import json as _json
+
+    data = _json.loads(out.read_text())
+    assert "reflectance" in data and "refraction_angle_deg" in data
