@@ -29,6 +29,13 @@ class SceneArrays(NamedTuple):
     chunk_aabb_lo: np.ndarray    # (C, 3) chunk AABB minima
     chunk_aabb_hi: np.ndarray    # (C, 3) chunk AABB maxima
     chunk_size: int              # triangles per chunk (static)
+    # Pallas-kernel DMA layout of the plane tables, (4, C*4*chunk_size) with
+    # chunk-major [support|edge0|edge1|edge2] row groups (planes_d zero-padded
+    # to 4 coords). Scene-constant: precomputing it here keeps a ~2x128 MB
+    # strided transpose out of every traced pallas3 call (None -> the tracer
+    # derives it on the fly, e.g. for hand-built SceneArrays).
+    planes_o_t: Optional[np.ndarray] = None   # (4, 4T)
+    planes_d_t: Optional[np.ndarray] = None   # (4, 4T)
 
     @property
     def n_triangles(self) -> int:
@@ -76,6 +83,24 @@ def _triangle_planes(verts: np.ndarray):
         [N.reshape(-1, 3), O.reshape(-1, 1)], axis=-1
     ).astype(np.float32)                                          # (4T, 4)
     return n_unit.astype(np.float32), planes_o, planes_d
+
+
+def _kernel_plane_layout(planes_o: np.ndarray, planes_d: np.ndarray,
+                         chunk_size: int):
+    """Transpose the interleaved (4T, 4)/(4T, 3) plane tables into the
+    pallas3 kernel's HBM DMA layout: (4, C*4*Tc) with chunk-major
+    [support rows | edge0 | edge1 | edge2] groups, so one chunk's slab is a
+    contiguous 128-aligned block whose trailing (lane) dimension carries the
+    triangle axis (trace/pallas_trace.py)."""
+    tc = chunk_size
+    C = planes_o.shape[0] // (4 * tc)
+    po = np.ascontiguousarray(
+        planes_o.reshape(C, tc, 4, 4).transpose(0, 2, 1, 3).reshape(-1, 4).T)
+    pd_rows = planes_d.reshape(C, tc, 4, 3).transpose(0, 2, 1, 3)
+    pd = np.concatenate(
+        [pd_rows, np.zeros((C, 4, tc, 1), np.float32)], axis=-1
+    ).reshape(-1, 4).T
+    return po.astype(np.float32), np.ascontiguousarray(pd, np.float32)
 
 
 def _morton_order(centers: np.ndarray) -> np.ndarray:
@@ -179,6 +204,7 @@ class Scene:
             lo = chunks.min(axis=(1, 2))
             hi = chunks.max(axis=(1, 2))
 
+        po_t, pd_t = _kernel_plane_layout(planes_o, planes_d, self.chunk_size)
         return SceneArrays(
             verts=verts,
             obj_ids=obj_ids,
@@ -188,6 +214,8 @@ class Scene:
             chunk_aabb_lo=lo.astype(np.float32),
             chunk_aabb_hi=hi.astype(np.float32),
             chunk_size=self.chunk_size,
+            planes_o_t=po_t,
+            planes_d_t=pd_t,
         )
 
     @staticmethod

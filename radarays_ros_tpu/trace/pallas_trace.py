@@ -278,14 +278,14 @@ def _v3_callable(chunk_size: int, ray_block: int, group: int, t_min: float,
     (the HBM-resident plane/order tables) cannot be batched by vmap."""
 
     @jax.custom_batching.custom_vmap
-    def impl(planes_o, planes_d, chunk_lo, chunk_hi, origs, dirs, budget):
+    def impl(po_t, pd_t, chunk_lo, chunk_hi, origs, dirs, budget):
         return _trace_pallas_v3_impl(
-            planes_o, planes_d, chunk_lo, chunk_hi, origs, dirs, budget,
+            po_t, pd_t, chunk_lo, chunk_hi, origs, dirs, budget,
             chunk_size=chunk_size, ray_block=ray_block, group=group,
             t_min=t_min, t_max=t_max, interpret=interpret)
 
     @impl.def_vmap
-    def _vmap_rule(axis_size, in_batched, planes_o, planes_d, chunk_lo,
+    def _vmap_rule(axis_size, in_batched, po_t, pd_t, chunk_lo,
                    chunk_hi, origs, dirs, budget):
         po_b, pd_b, lo_b, hi_b, o_b, d_b, b_b = in_batched
         if po_b or pd_b or lo_b or hi_b:
@@ -306,7 +306,7 @@ def _v3_callable(chunk_size: int, ray_block: int, group: int, t_min: float,
         # the front-to-back rank order serves every lane at once, so the
         # sweep terminates earlier. Exact: lanes are independent; this is a
         # permutation, inverted on the outputs.
-        t, idx = impl(planes_o, planes_d, chunk_lo, chunk_hi,
+        t, idx = impl(po_t, pd_t, chunk_lo, chunk_hi,
                       o.transpose(1, 0, 2).reshape(-1, 3),
                       d.transpose(1, 0, 2).reshape(-1, 3),
                       b.transpose(1, 0).reshape(-1))
@@ -321,12 +321,16 @@ def _v3_callable(chunk_size: int, ray_block: int, group: int, t_min: float,
     static_argnames=("chunk_size", "ray_block", "group", "t_min", "t_max",
                      "interpret"),
 )
-def _trace_pallas_v3_impl(planes_o, planes_d, chunk_lo, chunk_hi, origs, dirs,
+def _trace_pallas_v3_impl(po, pd, chunk_lo, chunk_hi, origs, dirs,
                           budget, *, chunk_size: int, ray_block: int,
                           group: int, t_min: float, t_max: float,
                           interpret: bool):
+    """po/pd: plane tables in the kernel DMA layout (4, C*4*Tc) — scene-
+    constant, precomputed by Scene.device_arrays (geom/scene.py:
+    _kernel_plane_layout) or derived once in trace_pallas_v3. chunk_lo/hi
+    are already padded to a multiple of `group` there."""
     tc = chunk_size
-    C = planes_o.shape[0] // (4 * tc)
+    C = po.shape[1] // (4 * tc)
     R = origs.shape[0]
     RB = ray_block
     pad = (-R) % RB
@@ -335,18 +339,6 @@ def _trace_pallas_v3_impl(planes_o, planes_d, chunk_lo, chunk_hi, origs, dirs,
     bud = jnp.concatenate([budget, jnp.zeros((pad,), jnp.float32)], axis=0)
     n_blocks = o.shape[0] // RB
 
-    # pad the chunk axis to a multiple of the supergroup size with never-hit
-    # chunks (zero planes -> |denominator| = 0; far AABBs -> never ranked)
-    pad_c = (-C) % group
-    if pad_c:
-        planes_o = jnp.concatenate(
-            [planes_o, jnp.zeros((pad_c * 4 * tc, 4), jnp.float32)], axis=0)
-        planes_d = jnp.concatenate(
-            [planes_d, jnp.zeros((pad_c * 4 * tc, 3), jnp.float32)], axis=0)
-        far = jnp.full((pad_c, 3), 1e9, jnp.float32)
-        chunk_lo = jnp.concatenate([chunk_lo, far], axis=0)
-        chunk_hi = jnp.concatenate([chunk_hi, far + 1.0], axis=0)
-        C += pad_c
     # supergroup AABBs: culling granularity = group consecutive Morton
     # chunks (their triangles are one contiguous plane slab in HBM)
     C2 = C // group
@@ -359,14 +351,6 @@ def _trace_pallas_v3_impl(planes_o, planes_d, chunk_lo, chunk_hi, origs, dirs,
     o_aug = o_aug.transpose(0, 2, 1)
     d_aug = jnp.concatenate([d, zeros], axis=-1).reshape(n_blocks, RB, 4)
     d_aug = d_aug.transpose(0, 2, 1)
-
-    # grouped plane layout, transposed for 128-aligned DMA: (4, C*4*Tc)
-    po = planes_o.reshape(C, tc, 4, 4).transpose(0, 2, 1, 3).reshape(
-        C * 4 * tc, 4).T
-    pd_rows = planes_d.reshape(C, tc, 4, 3).transpose(0, 2, 1, 3)
-    pd = jnp.concatenate(
-        [pd_rows, jnp.zeros((C, 4, tc, 1), jnp.float32)], axis=-1
-    ).reshape(C * 4 * tc, 4).T
 
     # per-block front-to-back SUPERGROUP ranking + entries, via the fused
     # Pallas prep kernel (_prep_kernel): the pure-XLA formulation of this
@@ -480,6 +464,40 @@ def trace_pallas_v3(scene, origs, dirs, t_min: float = 0.0,
     dirs = jnp.asarray(dirs)
     budget = (jnp.full(origs.shape[:-1], t_max, jnp.float32)
               if t_budget is None else jnp.asarray(t_budget, jnp.float32))
+
+    chunk_lo = jnp.asarray(scene.chunk_aabb_lo)
+    chunk_hi = jnp.asarray(scene.chunk_aabb_hi)
+    C = chunk_lo.shape[0]
+    pad_c = (-C) % group
+    po_t = getattr(scene, "planes_o_t", None)
+    if po_t is not None and pad_c == 0:
+        # scene-constant kernel layout, precomputed on host (the on-the-fly
+        # relayout of the ~2x64 MB tables dominated large-scene trace time)
+        po_t = jnp.asarray(po_t)
+        pd_t = jnp.asarray(scene.planes_d_t)
+    else:
+        planes_o = jnp.asarray(scene.planes_o)
+        planes_d = jnp.asarray(scene.planes_d)
+        if pad_c:
+            # pad the chunk axis to a multiple of the supergroup size with
+            # never-hit chunks (zero planes -> |denominator| = 0)
+            planes_o = jnp.concatenate(
+                [planes_o, jnp.zeros((pad_c * 4 * chunk_size, 4),
+                                     jnp.float32)], axis=0)
+            planes_d = jnp.concatenate(
+                [planes_d, jnp.zeros((pad_c * 4 * chunk_size, 3),
+                                     jnp.float32)], axis=0)
+        Cp = C + pad_c
+        po_t = planes_o.reshape(Cp, chunk_size, 4, 4).transpose(
+            0, 2, 1, 3).reshape(Cp * 4 * chunk_size, 4).T
+        pd_rows = planes_d.reshape(Cp, chunk_size, 4, 3).transpose(0, 2, 1, 3)
+        pd_t = jnp.concatenate(
+            [pd_rows, jnp.zeros((Cp, 4, chunk_size, 1), jnp.float32)],
+            axis=-1).reshape(Cp * 4 * chunk_size, 4).T
+    if pad_c:
+        far = jnp.full((pad_c, 3), 1e9, jnp.float32)
+        chunk_lo = jnp.concatenate([chunk_lo, far], axis=0)
+        chunk_hi = jnp.concatenate([chunk_hi, far + 1.0], axis=0)
     # Differentiation contract: the kernel picks WHICH triangle wins
     # (discrete — no useful derivative, and pallas_call has no AD rule);
     # the hit DISTANCE is then recomputed differentiably against that
@@ -489,8 +507,7 @@ def trace_pallas_v3(scene, origs, dirs, t_min: float = 0.0,
     # so beam-width/pose optimization works on the production engine.
     sg = jax.lax.stop_gradient
     best_t, best_idx = impl(
-        jnp.asarray(scene.planes_o), jnp.asarray(scene.planes_d),
-        jnp.asarray(scene.chunk_aabb_lo), jnp.asarray(scene.chunk_aabb_hi),
+        sg(po_t), sg(pd_t), sg(chunk_lo), sg(chunk_hi),
         sg(origs), sg(dirs), sg(budget),
     )
     return _finalize(scene, origs, dirs, best_idx, sg(best_t))
