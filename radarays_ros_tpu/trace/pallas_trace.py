@@ -231,14 +231,171 @@ def _prep_kernel(lo_ref, hi_ref, o_ref, idv_ref, bud_ref,
     tlast_ref[0] = tl
 
 
+_SG = 32  # chunks per culling supergroup in the hierarchical prep
+
+
+def _prep_kernel_hier(bm_ref, lo_ref, hi_ref, o_ref, idv_ref, bud_ref,
+                      entry_ref, tlast_ref, *, n_words: int, t_max: float):
+    """Hierarchical culling prep: fine slab tests only where the coarse
+    supergroup bitmap says a ray tile can overlap.
+
+    Grid = (ray block, ray tile). bm_ref (SMEM) holds, per grid cell,
+    `n_words` 32-bit words whose bit s says "this tile overlaps supergroup
+    s" (computed conservatively in XLA against supergroup AABBs — a
+    (rays x n_supers) problem, ~SG times smaller than rays x chunks). Only
+    overlapped supergroups get the (SG, rbt) per-chunk slab test; typical
+    tiles overlap a handful of the ~128 supergroups, so prep cost drops to
+    the coarse pass + a short loop. entry is min-accumulated IN PLACE
+    across the ray tiles of a block (the i grid axis revisits the same
+    (1, Cp, 1) block), replacing the old (G, Cp) intermediate + XLA
+    reduction."""
+    i = pl.program_id(1)
+    o = o_ref[0]          # (3, RBt)
+    idv = idv_ref[0]      # (3, RBt)
+    cap = jnp.minimum(jnp.float32(t_max), bud_ref[0])   # (1, RBt)
+    alive = cap > 0.0
+
+    @pl.when(i == 0)
+    def _init():
+        entry_ref[0] = jnp.full(entry_ref.shape[1:], jnp.inf, jnp.float32)
+
+    b = pl.program_id(0)
+
+    def fine(js, tl):
+        sl = pl.ds(js * _SG, _SG)
+        t_near = None
+        t_far = None
+        for k in range(3):
+            lo_k = lo_ref[sl, k:k + 1]                  # (SG, 1)
+            hi_k = hi_ref[sl, k:k + 1]
+            o_k = o[k:k + 1, :]                         # (1, RBt)
+            idv_k = idv[k:k + 1, :]
+            t0 = (lo_k - o_k) * idv_k                   # (SG, RBt)
+            t1 = (hi_k - o_k) * idv_k
+            tn_k = jnp.minimum(t0, t1)
+            tf_k = jnp.maximum(t0, t1)
+            t_near = tn_k if t_near is None else jnp.maximum(t_near, tn_k)
+            t_far = tf_k if t_far is None else jnp.minimum(t_far, tf_k)
+        tn0 = jnp.maximum(t_near, 0.0)
+        keep = (t_far >= tn0) & (t_near <= cap) & alive
+        tn_eff = jnp.where(keep, tn0, jnp.inf)
+        cur = entry_ref[0, sl, :]
+        entry_ref[0, sl, :] = jnp.minimum(
+            cur, jnp.min(tn_eff, axis=1, keepdims=True))
+        return jnp.maximum(tl, jnp.max(jnp.where(keep, tn0, -jnp.inf),
+                                       axis=0, keepdims=True))
+
+    tl0 = jnp.full(cap.shape, -jnp.inf, jnp.float32)
+
+    def word_loop(w, tl):
+        word = bm_ref[b, i, w]
+
+        def scan_word(tl):
+            def body(jj, tl):
+                bit = jax.lax.shift_right_logical(
+                    word, jj) & jnp.int32(1)
+                return jax.lax.cond(
+                    bit != 0, lambda t: fine(w * 32 + jj, t),
+                    lambda t: t, tl)
+            return jax.lax.fori_loop(0, 32, body, tl)
+
+        return jax.lax.cond(word != 0, scan_word, lambda t: t, tl)
+
+    tl = jax.lax.fori_loop(0, n_words, word_loop, tl0)
+    tlast_ref[0] = tl
+
+
+def _coarse_bitmap(lo, hi, o_t, idv_t, bud_t, *, Cp: int, t_max: float):
+    """XLA coarse pass: packed per-(ray tile, supergroup) overlap bits.
+
+    o_t/idv_t: (G, 3, RBt); bud_t: (G, 1, RBt). Conservative: a chunk kept
+    by any lane implies its supergroup (whose AABB contains the chunk's)
+    is kept by that lane here. Returns (G, n_words) int32."""
+    S = Cp // _SG
+    slo = lo.reshape(S, _SG, 3).min(axis=1)             # (S, 3)
+    shi = hi.reshape(S, _SG, 3).max(axis=1)
+    cap = jnp.minimum(jnp.float32(t_max), bud_t)        # (G, 1, RBt)
+    alive = cap > 0.0
+    t_near = None
+    t_far = None
+    for k in range(3):
+        lo_k = slo[None, :, k:k + 1]                    # (1, S, 1)
+        hi_k = shi[None, :, k:k + 1]
+        o_k = o_t[:, None, k, :]                        # (G, 1, RBt)
+        idv_k = idv_t[:, None, k, :]
+        t0 = (lo_k - o_k) * idv_k                       # (G, S, RBt)
+        t1 = (hi_k - o_k) * idv_k
+        tn_k = jnp.minimum(t0, t1)
+        tf_k = jnp.maximum(t0, t1)
+        t_near = tn_k if t_near is None else jnp.maximum(t_near, tn_k)
+        t_far = tf_k if t_far is None else jnp.minimum(t_far, tf_k)
+    keep = (t_far >= jnp.maximum(t_near, 0.0)) & (t_near <= cap) & alive
+    overlap = jnp.any(keep, axis=-1)                    # (G, S)
+    n_words = -(-S // 32)
+    pad = n_words * 32 - S
+    if pad:
+        overlap = jnp.concatenate(
+            [overlap, jnp.zeros((overlap.shape[0], pad), bool)], axis=1)
+    bits = overlap.reshape(-1, n_words, 32).astype(jnp.int32)
+    # distinct powers of two: the sum IS the bitwise OR (1<<31 wraps to the
+    # int32 sign bit, which the kernel's shift_right_logical handles)
+    weights = jnp.left_shift(jnp.int32(1), jnp.arange(32, dtype=jnp.int32))
+    return jnp.sum(bits * weights[None, None, :], axis=-1, dtype=jnp.int32)
+
+
 def _run_prep_kernel(lo, hi, o_aug, inv_d_t, bud_b, *, Cp: int, RB: int,
                      n_blocks: int, t_max: float, interpret: bool):
-    """entry (B, Cp) + t_last (B, RB) via the fused prep kernel."""
-    ct = min(512, Cp)
-    n_ctiles = Cp // ct
+    """entry (B, Cp) + t_last (B, RB) via the fused prep kernel(s)."""
     rbt = min(256, RB)
     I = RB // rbt
     G = n_blocks * I
+
+    if Cp % _SG == 0 and Cp // _SG >= 8:
+        # hierarchical path: coarse supergroup bitmap (XLA) gates the fine
+        # per-chunk tests (Pallas)
+        o_t = o_aug.reshape(n_blocks, 3, I, rbt).transpose(
+            0, 2, 1, 3).reshape(G, 3, rbt)
+        idv_t = inv_d_t.reshape(n_blocks, 3, I, rbt).transpose(
+            0, 2, 1, 3).reshape(G, 3, rbt)
+        bud_t = bud_b.reshape(n_blocks, 1, I, rbt).transpose(
+            0, 2, 1, 3).reshape(G, 1, rbt)
+        words = _coarse_bitmap(lo, hi, o_t, idv_t, bud_t, Cp=Cp,
+                               t_max=float(t_max))
+        n_words = words.shape[1]
+        words = words.reshape(n_blocks, I, n_words)
+
+        entry, t_last = pl.pallas_call(
+            functools.partial(_prep_kernel_hier, n_words=n_words,
+                              t_max=float(t_max)),
+            grid=(n_blocks, I),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # bitmap (B, I, W)
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # lo (Cp, 3)
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # hi (Cp, 3)
+                pl.BlockSpec((1, 3, rbt), lambda b, i: (b, 0, i),
+                             memory_space=pltpu.VMEM),   # ray origins
+                pl.BlockSpec((1, 3, rbt), lambda b, i: (b, 0, i),
+                             memory_space=pltpu.VMEM),   # 1/dir
+                pl.BlockSpec((1, 1, rbt), lambda b, i: (b, 0, i),
+                             memory_space=pltpu.VMEM),   # budget
+            ],
+            out_specs=[
+                # revisited across the i axis: min-accumulated in place
+                pl.BlockSpec((1, Cp, 1), lambda b, i: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, rbt), lambda b, i: (b, 0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n_blocks, Cp, 1), jnp.float32),
+                jax.ShapeDtypeStruct((n_blocks, 1, RB), jnp.float32),
+            ],
+            interpret=interpret,
+        )(words, lo, hi, o_aug, inv_d_t, bud_b)
+        return entry[:, :, 0], t_last
+
+    ct = min(512, Cp)
+    n_ctiles = Cp // ct
 
     entry_part, t_last = pl.pallas_call(
         functools.partial(_prep_kernel, ct=ct, n_ctiles=n_ctiles,
@@ -366,7 +523,9 @@ def _trace_pallas_v3_impl(po, pd, chunk_lo, chunk_hi, origs, dirs,
     inv_d_t = inv_d.reshape(n_blocks, RB, 3).transpose(0, 2, 1)  # (B, 3, RB)
     bud_live = jnp.where(jnp.arange(o.shape[0]) < R, bud, 0.0)
     bud_b = bud_live.reshape(n_blocks, 1, RB)
-    ct = min(512, max(8, C2))
+    # pad the chunk table so the hierarchical prep's supergroups tile it
+    # exactly (512 is a multiple of _SG=32); tiny scenes keep a snug pad
+    ct = 512 if C2 >= 8 * _SG else min(512, max(8, C2))
     Cp2 = -(-C2 // ct) * ct
     far = jnp.full((Cp2 - C2, 3), 1e9, jnp.float32)
     entry, t_last = _run_prep_kernel(

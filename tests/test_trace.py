@@ -285,3 +285,35 @@ def test_trace_distance_gradients(engine):
     g = jax.grad(loss)(0.5)
     assert np.isfinite(float(g))
     assert float(g) == pytest.approx(-4.0, rel=1e-4)
+
+
+def test_pallas_v3_hierarchical_prep_parity(rng):
+    """Scenes with >= 256 chunks take the hierarchical culling-prep path
+    (coarse supergroup bitmap + gated fine slab tests); it must stay exact
+    vs brute, including with budgets and mixed hit/sky rays."""
+    from radarays_ros_tpu.geom.primitives import make_urban_scene
+    from radarays_ros_tpu.geom.scene import Scene
+    from radarays_ros_tpu.trace import pallas_trace as P
+
+    parts, names = make_urban_scene(n_buildings=220, extent=120.0, seed=9)
+    scene = Scene.compose(parts, names, chunk_size=8)
+    sa = scene.device_arrays()
+    assert sa.chunk_aabb_lo.shape[0] >= 8 * P._SG  # hierarchical path
+
+    n = 300
+    az = rng.uniform(0, 2 * np.pi, n)
+    el = rng.uniform(-0.2, 0.5, n)
+    d = np.stack([np.cos(el) * np.cos(az), np.cos(el) * np.sin(az),
+                  np.sin(el)], -1)
+    o = np.broadcast_to(np.array([0, 0, 2.0], np.float32), (n, 3))
+    o, d = jnp.asarray(o, jnp.float32), jnp.asarray(d, jnp.float32)
+    bud = jnp.asarray(rng.choice([10.0, 50.0, 1000.0], n), jnp.float32)
+
+    ref = trace(sa, o, d, engine="brute", t_budget=bud)
+    got = trace(sa, o, d, engine="pallas3", t_budget=bud, ray_block=128)
+    np.testing.assert_array_equal(np.asarray(ref.hit), np.asarray(got.hit))
+    hit = np.asarray(ref.hit)
+    np.testing.assert_allclose(np.asarray(got.t)[hit],
+                               np.asarray(ref.t)[hit], rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(ref.obj_id),
+                                  np.asarray(got.obj_id))
