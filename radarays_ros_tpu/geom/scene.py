@@ -225,7 +225,10 @@ class Scene:
                 [obj_ids, np.full((pad,), INVALID_OBJ_ID, np.int32)]
             )
 
-        order = _median_split_order(verts.mean(axis=1), self.chunk_size)
+        centers = verts.mean(axis=1)
+        order = (native_builder.median_split_order(centers, self.chunk_size)
+                 if native_builder.available()
+                 else _median_split_order(centers, self.chunk_size))
         verts = np.ascontiguousarray(verts[order])
         obj_ids = np.ascontiguousarray(obj_ids[order])
 

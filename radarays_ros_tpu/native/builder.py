@@ -38,6 +38,10 @@ def _lib():
             ctypes.POINTER(ctypes.c_int64),  # out order (N,)
         ]
         lib.rr_morton_order.restype = None
+        lib.rr_median_split_order.argtypes = [
+            fp, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64)]
+        lib.rr_median_split_order.restype = None
         lib.rr_chunk_aabbs.argtypes = [
             fp, ctypes.c_int64, ctypes.c_int64, fp, fp]
         lib.rr_chunk_aabbs.restype = None
@@ -72,6 +76,21 @@ def morton_order(centers: np.ndarray) -> np.ndarray:
     out = np.empty(n, np.int64)
     lib.rr_morton_order(
         _fp(centers), ctypes.c_int64(n),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return out
+
+
+def median_split_order(centers: np.ndarray, chunk_size: int) -> np.ndarray:
+    """Median-split leaf ordering of (N, 3) points via the C++ builder
+    (same contract as geom/scene.py:_median_split_order; N % chunk_size
+    must be 0)."""
+    lib = _lib()
+    centers = np.ascontiguousarray(centers, np.float32)
+    n = centers.shape[0]
+    out = np.empty(n, np.int64)
+    lib.rr_median_split_order(
+        _fp(centers), ctypes.c_int64(n), ctypes.c_int64(chunk_size),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
     return out

@@ -76,6 +76,55 @@ void rr_morton_order(const float* centers, int64_t n, int64_t* out) {
   std::memcpy(out, order.data(), sizeof(int64_t) * static_cast<size_t>(n));
 }
 
+// Top-down longest-axis median split into leaves of exactly chunk_size
+// triangles (the permutation geom/scene.py:_median_split_order computes in
+// NumPy; C++ nth_element is ~10x faster at 1M triangles). Requires
+// n % chunk_size == 0 (callers pad first); split points are snapped to
+// chunk_size multiples so every leaf is exactly full. Recursion is an
+// explicit stack; sub-ranges partition [out, out+n) in place.
+void rr_median_split_order(const float* centers, int64_t n,
+                           int64_t chunk_size, int64_t* out) {
+  if (n <= 0) return;
+  std::iota(out, out + n, int64_t{0});
+  struct Range { int64_t lo, hi; };
+  std::vector<Range> stack;
+  stack.push_back({0, n});
+  while (!stack.empty()) {
+    const Range r = stack.back();
+    stack.pop_back();
+    const int64_t len = r.hi - r.lo;
+    if (len <= chunk_size) continue;
+    float mn[3], mx[3];
+    for (int k = 0; k < 3; ++k) {
+      mn[k] = centers[out[r.lo] * 3 + k];
+      mx[k] = mn[k];
+    }
+    for (int64_t i = r.lo + 1; i < r.hi; ++i) {
+      const float* c = centers + out[i] * 3;
+      for (int k = 0; k < 3; ++k) {
+        mn[k] = std::min(mn[k], c[k]);
+        mx[k] = std::max(mx[k], c[k]);
+      }
+    }
+    int ax = 0;
+    float best = mx[0] - mn[0];
+    for (int k = 1; k < 3; ++k) {
+      if (mx[k] - mn[k] > best) {
+        best = mx[k] - mn[k];
+        ax = k;
+      }
+    }
+    int64_t half = ((len / 2) / chunk_size) * chunk_size;
+    if (half == 0) half = chunk_size;
+    std::nth_element(out + r.lo, out + r.lo + half, out + r.hi,
+                     [&](int64_t a, int64_t b) {
+                       return centers[a * 3 + ax] < centers[b * 3 + ax];
+                     });
+    stack.push_back({r.lo, r.lo + half});
+    stack.push_back({r.lo + half, r.hi});
+  }
+}
+
 // Axis-aligned bounding boxes of fixed-size triangle chunks.
 // verts: (C * chunk, 3, 3) float32; writes lo/hi as (C, 3) float32.
 void rr_chunk_aabbs(const float* verts, int64_t n_chunks, int64_t chunk,
