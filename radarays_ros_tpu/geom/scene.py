@@ -36,6 +36,12 @@ class SceneArrays(NamedTuple):
     # derives it on the fly, e.g. for hand-built SceneArrays).
     planes_o_t: Optional[np.ndarray] = None   # (4, 4T)
     planes_d_t: Optional[np.ndarray] = None   # (4, 4T)
+    # Packed per-triangle fetch table for the pallas3 in-kernel hit fetch,
+    # (16, T): rows 0-8 = v0,e1,e2; 9-11 = unit normal; 12 = obj_id as f32
+    # (-1 for padding triangles); 13-15 zero. The sweep kernel contracts it
+    # against a one-hot of each lane's winning triangle (an MXU matmul per
+    # visited chunk), replacing XLA row gathers that run at ~1.5 GB/s.
+    tri_table_t: Optional[np.ndarray] = None  # (16, T)
 
     @property
     def n_triangles(self) -> int:
@@ -133,6 +139,23 @@ def _median_split_order(centers: np.ndarray, chunk_size: int) -> np.ndarray:
         part = np.argpartition(c[:, ax], half)
         stack.append(s[part[half:]])
         stack.append(s[part[:half]])
+    return out
+
+
+def _tri_fetch_table(verts: np.ndarray, normals: np.ndarray,
+                     obj_ids: np.ndarray) -> np.ndarray:
+    """(16, T) packed triangle data for the in-kernel winner fetch
+    (see SceneArrays.tri_table_t). obj ids are stored as exact f32
+    (< 2^24); INVALID/padding triangles store -1."""
+    T = verts.shape[0]
+    out = np.zeros((16, T), np.float32)
+    v0 = verts[:, 0]
+    out[0:3] = v0.T
+    out[3:6] = (verts[:, 1] - v0).T
+    out[6:9] = (verts[:, 2] - v0).T
+    out[9:12] = normals.T
+    obj = obj_ids.astype(np.int64)
+    out[12] = np.where((obj >= 0) & (obj < 2**24), obj, -1).astype(np.float32)
     return out
 
 
@@ -242,6 +265,7 @@ class Scene:
             hi = chunks.max(axis=(1, 2))
 
         po_t, pd_t = _kernel_plane_layout(planes_o, planes_d, self.chunk_size)
+        tri_t = _tri_fetch_table(verts, normals, obj_ids)
         return SceneArrays(
             verts=verts,
             obj_ids=obj_ids,
@@ -253,6 +277,7 @@ class Scene:
             chunk_size=self.chunk_size,
             planes_o_t=po_t,
             planes_d_t=pd_t,
+            tri_table_t=tri_t,
         )
 
     @staticmethod

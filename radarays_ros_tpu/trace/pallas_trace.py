@@ -40,17 +40,20 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from radarays_ros_tpu.trace.planes import _DIR_EPS, _finalize
+import numpy as np
+
+from radarays_ros_tpu.trace.planes import _DIR_EPS, _finalize_packed
 
 _INSIDE_EPS = 1e-5  # meters (edge planes are unit-normalized); planes.py:33
 _BIG_IDX = 2**30  # python literal: jnp constants would be captured by the kernel
 
 
 def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, o_ref, d_ref,
-                     tlast_ref, po_hbm, pd_hbm, best_t_ref, best_idx_ref,
+                     tlast_ref, po_hbm, pd_hbm, tri_hbm, best_t_ref,
+                     best_idx_ref, tri_ref,
                      order_ref, entry_ref, idx_sem,
-                     po_buf, pd_buf, po_sem, pd_sem, *, tc: int, group: int,
-                     t_min: float, t_max: float):
+                     po_buf, pd_buf, po_sem, pd_sem, tri_buf, tri_sem, *,
+                     tc: int, group: int, t_min: float, t_max: float):
     """v3: ordered chunk sweep with early termination and HBM->VMEM DMA.
 
     Per ray block, chunks are walked front-to-back (order_ref, ranked by the
@@ -73,6 +76,7 @@ def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, o_ref, d_ref,
 
     best_t_ref[:] = jnp.full(best_t_ref.shape, jnp.inf, jnp.float32)
     best_idx_ref[:] = jnp.zeros(best_idx_ref.shape, jnp.int32)
+    tri_ref[:] = jnp.zeros(tri_ref.shape, jnp.float32)
 
     n = nvisit_ref[i, 0]
     o = o_ref[0]
@@ -187,6 +191,45 @@ def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, o_ref, d_ref,
             a.wait()
             b.wait()
 
+        # ---- winner fetch: pull each lane's winning-triangle data out of
+        # the packed table with one one-hot MXU contraction per VISITED
+        # chunk (winners can only come from visited chunks). This replaces
+        # the XLA row-gathers of verts/normals/obj ids, which run at
+        # ~1.5 GB/s and dominated the post-trace cost (docs/PERFORMANCE.md).
+        # Miss lanes (best_idx 0, best_t inf) may match triangle 0 when its
+        # chunk was visited; _finalize masks them by isfinite(best_t).
+        def tri_dma(k, slot):
+            c = order_ref[k // W, k % W]
+            return pltpu.make_async_copy(
+                tri_hbm.at[:, pl.ds(c * group * tc, group * tc)],
+                tri_buf.at[slot], tri_sem.at[slot])
+
+        @pl.when(k_final > 0)
+        def _fetch():
+            tri_dma(0, 0).start()
+            rows_g = jax.lax.broadcasted_iota(
+                jnp.int32, (group * tc, o.shape[1]), 0)
+
+            def fbody(k, _):
+                slot = jax.lax.rem(k, 2)
+
+                @pl.when(k + 1 < k_final)
+                def _pref():
+                    tri_dma(k + 1, 1 - slot).start()
+
+                tri_dma(k, slot).wait()
+                c = order_ref[k // W, k % W]
+                onehot = (rows_g + c * group * tc
+                          == best_idx_ref[0, 0, :]).astype(jnp.float32)
+                dn = (((1,), (0,)), ((), ()))
+                contrib = jax.lax.dot_general(
+                    tri_buf[slot], onehot, dn,
+                    preferred_element_type=jnp.float32)     # (16, RB)
+                tri_ref[0] = tri_ref[0] + contrib
+                return 0
+
+            jax.lax.fori_loop(0, k_final, fbody, 0)
+
 
 def _prep_kernel(lo_ref, hi_ref, o_ref, idv_ref, bud_ref,
                  entry_ref, tlast_ref, *, ct: int, n_ctiles: int,
@@ -290,23 +333,56 @@ def _prep_kernel_hier(bm_ref, lo_ref, hi_ref, o_ref, idv_ref, bud_ref,
     def word_loop(w, tl):
         word = bm_ref[b, i, w]
 
-        def scan_word(tl):
-            def body(jj, tl):
-                bit = jax.lax.shift_right_logical(
-                    word, jj) & jnp.int32(1)
-                return jax.lax.cond(
-                    bit != 0, lambda t: fine(w * 32 + jj, t),
-                    lambda t: t, tl)
-            return jax.lax.fori_loop(0, 32, body, tl)
+        # iterate over SET bits only (lowest-set-bit + clear), not all 32
+        # positions: per-bit lax.cond overhead dominated the kernel
+        def cond(carry):
+            wrd, _ = carry
+            return wrd != 0
 
-        return jax.lax.cond(word != 0, scan_word, lambda t: t, tl)
+        def body(carry):
+            wrd, tl = carry
+            low = wrd & -wrd                       # lowest set bit
+            jj = 31 - jax.lax.clz(low)             # its index
+            tl = fine(w * 32 + jj, tl)
+            return wrd & (wrd - 1), tl
+
+        _, tl = jax.lax.while_loop(cond, body, (word, tl))
+        return tl
 
     tl = jax.lax.fori_loop(0, n_words, word_loop, tl0)
     tlast_ref[0] = tl
 
 
-def _coarse_bitmap(lo, hi, o_t, idv_t, bud_t, *, Cp: int, t_max: float):
-    """XLA coarse pass: packed per-(ray tile, supergroup) overlap bits.
+def _coarse_kernel(slo_ref, shi_ref, o_ref, idv_ref, bud_ref, ov_ref, *,
+                   t_max: float):
+    """Coarse pass of the hierarchical prep: per (ray tile, supergroup)
+    overlap flags, all tiles VMEM-resident (the pure-XLA formulation
+    materialized (tiles x supers x rays) temporaries in HBM and cost more
+    than the fine pass it was gating)."""
+    o = o_ref[0]          # (3, RBt)
+    idv = idv_ref[0]
+    cap = jnp.minimum(jnp.float32(t_max), bud_ref[0])   # (1, RBt)
+    alive = cap > 0.0
+    t_near = None
+    t_far = None
+    for k in range(3):
+        lo_k = slo_ref[:, k:k + 1]                      # (Sp, 1)
+        hi_k = shi_ref[:, k:k + 1]
+        o_k = o[k:k + 1, :]                             # (1, RBt)
+        idv_k = idv[k:k + 1, :]
+        t0 = (lo_k - o_k) * idv_k                       # (Sp, RBt)
+        t1 = (hi_k - o_k) * idv_k
+        tn_k = jnp.minimum(t0, t1)
+        tf_k = jnp.maximum(t0, t1)
+        t_near = tn_k if t_near is None else jnp.maximum(t_near, tn_k)
+        t_far = tf_k if t_far is None else jnp.minimum(t_far, tf_k)
+    keep = (t_far >= jnp.maximum(t_near, 0.0)) & (t_near <= cap) & alive
+    ov_ref[0] = jnp.any(keep, axis=1, keepdims=True).astype(jnp.int32)
+
+
+def _coarse_bitmap(lo, hi, o_t, idv_t, bud_t, *, Cp: int, t_max: float,
+                   interpret: bool):
+    """Packed per-(ray tile, supergroup) overlap bits via _coarse_kernel.
 
     o_t/idv_t: (G, 3, RBt); bud_t: (G, 1, RBt). Conservative: a chunk kept
     by any lane implies its supergroup (whose AABB contains the chunk's)
@@ -314,29 +390,33 @@ def _coarse_bitmap(lo, hi, o_t, idv_t, bud_t, *, Cp: int, t_max: float):
     S = Cp // _SG
     slo = lo.reshape(S, _SG, 3).min(axis=1)             # (S, 3)
     shi = hi.reshape(S, _SG, 3).max(axis=1)
-    cap = jnp.minimum(jnp.float32(t_max), bud_t)        # (G, 1, RBt)
-    alive = cap > 0.0
-    t_near = None
-    t_far = None
-    for k in range(3):
-        lo_k = slo[None, :, k:k + 1]                    # (1, S, 1)
-        hi_k = shi[None, :, k:k + 1]
-        o_k = o_t[:, None, k, :]                        # (G, 1, RBt)
-        idv_k = idv_t[:, None, k, :]
-        t0 = (lo_k - o_k) * idv_k                       # (G, S, RBt)
-        t1 = (hi_k - o_k) * idv_k
-        tn_k = jnp.minimum(t0, t1)
-        tf_k = jnp.maximum(t0, t1)
-        t_near = tn_k if t_near is None else jnp.maximum(t_near, tn_k)
-        t_far = tf_k if t_far is None else jnp.minimum(t_far, tf_k)
-    keep = (t_far >= jnp.maximum(t_near, 0.0)) & (t_near <= cap) & alive
-    overlap = jnp.any(keep, axis=-1)                    # (G, S)
-    n_words = -(-S // 32)
-    pad = n_words * 32 - S
-    if pad:
-        overlap = jnp.concatenate(
-            [overlap, jnp.zeros((overlap.shape[0], pad), bool)], axis=1)
-    bits = overlap.reshape(-1, n_words, 32).astype(jnp.int32)
+    Sp = -(-S // 32) * 32
+    if Sp > S:
+        far = jnp.full((Sp - S, 3), 1e9, jnp.float32)
+        slo = jnp.concatenate([slo, far], axis=0)
+        shi = jnp.concatenate([shi, far + 1.0], axis=0)
+    G, _, rbt = o_t.shape
+
+    overlap = pl.pallas_call(
+        functools.partial(_coarse_kernel, t_max=float(t_max)),
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # super lo (Sp, 3)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # super hi
+            pl.BlockSpec((1, 3, rbt), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, rbt), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, rbt), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Sp, 1), lambda g: (g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G, Sp, 1), jnp.int32),
+        interpret=interpret,
+    )(slo, shi, o_t, idv_t, bud_t)
+
+    bits = overlap[:, :, 0].reshape(G, Sp // 32, 32)
     # distinct powers of two: the sum IS the bitwise OR (1<<31 wraps to the
     # int32 sign bit, which the kernel's shift_right_logical handles)
     weights = jnp.left_shift(jnp.int32(1), jnp.arange(32, dtype=jnp.int32))
@@ -360,7 +440,7 @@ def _run_prep_kernel(lo, hi, o_aug, inv_d_t, bud_b, *, Cp: int, RB: int,
         bud_t = bud_b.reshape(n_blocks, 1, I, rbt).transpose(
             0, 2, 1, 3).reshape(G, 1, rbt)
         words = _coarse_bitmap(lo, hi, o_t, idv_t, bud_t, Cp=Cp,
-                               t_max=float(t_max))
+                               t_max=float(t_max), interpret=interpret)
         n_words = words.shape[1]
         words = words.reshape(n_blocks, I, n_words)
 
@@ -435,17 +515,17 @@ def _v3_callable(chunk_size: int, ray_block: int, group: int, t_min: float,
     (the HBM-resident plane/order tables) cannot be batched by vmap."""
 
     @jax.custom_batching.custom_vmap
-    def impl(po_t, pd_t, chunk_lo, chunk_hi, origs, dirs, budget):
+    def impl(po_t, pd_t, tri_t, chunk_lo, chunk_hi, origs, dirs, budget):
         return _trace_pallas_v3_impl(
-            po_t, pd_t, chunk_lo, chunk_hi, origs, dirs, budget,
+            po_t, pd_t, tri_t, chunk_lo, chunk_hi, origs, dirs, budget,
             chunk_size=chunk_size, ray_block=ray_block, group=group,
             t_min=t_min, t_max=t_max, interpret=interpret)
 
     @impl.def_vmap
-    def _vmap_rule(axis_size, in_batched, po_t, pd_t, chunk_lo,
+    def _vmap_rule(axis_size, in_batched, po_t, pd_t, tri_t, chunk_lo,
                    chunk_hi, origs, dirs, budget):
-        po_b, pd_b, lo_b, hi_b, o_b, d_b, b_b = in_batched
-        if po_b or pd_b or lo_b or hi_b:
+        po_b, pd_b, tri_b, lo_b, hi_b, o_b, d_b, b_b = in_batched
+        if po_b or pd_b or tri_b or lo_b or hi_b:
             raise NotImplementedError(
                 "pallas3 cannot batch over scenes; batch rays/poses only")
         o = origs if o_b else jnp.broadcast_to(
@@ -463,12 +543,13 @@ def _v3_callable(chunk_size: int, ray_block: int, group: int, t_min: float,
         # the front-to-back rank order serves every lane at once, so the
         # sweep terminates earlier. Exact: lanes are independent; this is a
         # permutation, inverted on the outputs.
-        t, idx = impl(po_t, pd_t, chunk_lo, chunk_hi,
-                      o.transpose(1, 0, 2).reshape(-1, 3),
-                      d.transpose(1, 0, 2).reshape(-1, 3),
-                      b.transpose(1, 0).reshape(-1))
-        return (t.reshape(R, axis_size).T, idx.reshape(R, axis_size).T), \
-            (True, True)
+        t, idx, tri = impl(po_t, pd_t, tri_t, chunk_lo, chunk_hi,
+                           o.transpose(1, 0, 2).reshape(-1, 3),
+                           d.transpose(1, 0, 2).reshape(-1, 3),
+                           b.transpose(1, 0).reshape(-1))
+        return (t.reshape(R, axis_size).T, idx.reshape(R, axis_size).T,
+                tri.reshape(R, axis_size, 16).transpose(1, 0, 2)), \
+            (True, True, True)
 
     return impl
 
@@ -478,14 +559,15 @@ def _v3_callable(chunk_size: int, ray_block: int, group: int, t_min: float,
     static_argnames=("chunk_size", "ray_block", "group", "t_min", "t_max",
                      "interpret"),
 )
-def _trace_pallas_v3_impl(po, pd, chunk_lo, chunk_hi, origs, dirs,
+def _trace_pallas_v3_impl(po, pd, tri_t, chunk_lo, chunk_hi, origs, dirs,
                           budget, *, chunk_size: int, ray_block: int,
                           group: int, t_min: float, t_max: float,
                           interpret: bool):
-    """po/pd: plane tables in the kernel DMA layout (4, C*4*Tc) — scene-
-    constant, precomputed by Scene.device_arrays (geom/scene.py:
-    _kernel_plane_layout) or derived once in trace_pallas_v3. chunk_lo/hi
-    are already padded to a multiple of `group` there."""
+    """po/pd: plane tables in the kernel DMA layout (4, C*4*Tc); tri_t: the
+    (16, C*Tc) packed winner-fetch table — all scene-constant, precomputed
+    by Scene.device_arrays (geom/scene.py) or derived once in
+    trace_pallas_v3. chunk_lo/hi are already padded to a multiple of
+    `group` there."""
     tc = chunk_size
     C = po.shape[1] // (4 * tc)
     R = origs.shape[0]
@@ -555,7 +637,7 @@ def _trace_pallas_v3_impl(po, pd, chunk_lo, chunk_hi, origs, dirs,
         _trace_kernel_v3, tc=tc, group=group,
         t_min=float(t_min), t_max=float(t_max))
 
-    best_t, best_idx = pl.pallas_call(
+    best_t, best_idx, tri_rows = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
         in_specs=[
@@ -570,16 +652,20 @@ def _trace_pallas_v3_impl(po, pd, chunk_lo, chunk_hi, origs, dirs,
                          memory_space=pltpu.VMEM),   # t_last
             pl.BlockSpec(memory_space=pltpu.HBM),    # po
             pl.BlockSpec(memory_space=pltpu.HBM),    # pd
+            pl.BlockSpec(memory_space=pltpu.HBM),    # tri fetch table
         ],
         out_specs=[
             pl.BlockSpec((1, 1, RB), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, RB), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 16, RB), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),   # winner rows
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n_blocks, 1, RB), jnp.float32),
             jax.ShapeDtypeStruct((n_blocks, 1, RB), jnp.int32),
+            jax.ShapeDtypeStruct((n_blocks, 16, RB), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.SMEM((8, Cp // 8), jnp.int32),       # this block's order
@@ -589,11 +675,14 @@ def _trace_pallas_v3_impl(po, pd, chunk_lo, chunk_hi, origs, dirs,
             pltpu.VMEM((2, 4, group * 4 * tc), jnp.float32),  # pd dbl buf
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, 16, group * tc), jnp.float32),     # tri dbl buf
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(nvisit, order, entry_pad, o_aug, d_aug, t_last, po, pd)
+    )(nvisit, order, entry_pad, o_aug, d_aug, t_last, po, pd, tri_t)
 
-    return best_t.reshape(-1)[:R], best_idx.reshape(-1)[:R]
+    tri = tri_rows.transpose(0, 2, 1).reshape(-1, 16)[:R]
+    return best_t.reshape(-1)[:R], best_idx.reshape(-1)[:R], tri
 
 
 def trace_pallas_v3(scene, origs, dirs, t_min: float = 0.0,
@@ -656,6 +745,30 @@ def trace_pallas_v3(scene, origs, dirs, t_min: float = 0.0,
         pd_t = jnp.concatenate(
             [pd_rows, jnp.zeros((Cp, 4, chunk_size, 1), jnp.float32)],
             axis=-1).reshape(Cp * 4 * chunk_size, 4).T
+    tri_t = getattr(scene, "tri_table_t", None)
+    if tri_t is not None and pad_c == 0:
+        tri_t = jnp.asarray(tri_t)
+    else:
+        from radarays_ros_tpu.geom.scene import _tri_fetch_table
+
+        if isinstance(scene.verts, jnp.ndarray):
+            v = jnp.asarray(scene.verts)
+            v0 = v[:, 0]
+            tri_t = jnp.concatenate([
+                v0.T, (v[:, 1] - v0).T, (v[:, 2] - v0).T,
+                jnp.asarray(scene.normals).T,
+                jnp.where((scene.obj_ids >= 0) & (scene.obj_ids < 2**24),
+                          scene.obj_ids, -1).astype(jnp.float32)[None],
+                jnp.zeros((3, v.shape[0]), jnp.float32),
+            ], axis=0)
+        else:
+            tri_t = jnp.asarray(_tri_fetch_table(
+                np.asarray(scene.verts), np.asarray(scene.normals),
+                np.asarray(scene.obj_ids)))
+        if pad_c:
+            tri_t = jnp.concatenate(
+                [tri_t, jnp.zeros((16, pad_c * chunk_size), jnp.float32)],
+                axis=1)
     if pad_c:
         far = jnp.full((pad_c, 3), 1e9, jnp.float32)
         chunk_lo = jnp.concatenate([chunk_lo, far], axis=0)
@@ -663,13 +776,13 @@ def trace_pallas_v3(scene, origs, dirs, t_min: float = 0.0,
     # Differentiation contract: the kernel picks WHICH triangle wins
     # (discrete — no useful derivative, and pallas_call has no AD rule);
     # the hit DISTANCE is then recomputed differentiably against that
-    # triangle by _finalize's Moller-Trumbore refinement. Stopping
+    # triangle by _finalize_packed's Moller-Trumbore refinement. Stopping
     # tangents into the kernel makes d(t)/d(origs, dirs) flow through the
     # refinement — the exact gradient conditional on the discrete hit —
     # so beam-width/pose optimization works on the production engine.
     sg = jax.lax.stop_gradient
-    best_t, best_idx = impl(
-        sg(po_t), sg(pd_t), sg(chunk_lo), sg(chunk_hi),
+    best_t, best_idx, tri = impl(
+        sg(po_t), sg(pd_t), sg(tri_t), sg(chunk_lo), sg(chunk_hi),
         sg(origs), sg(dirs), sg(budget),
     )
-    return _finalize(scene, origs, dirs, best_idx, sg(best_t))
+    return _finalize_packed(origs, dirs, sg(best_t), sg(tri))

@@ -68,6 +68,41 @@ def _finalize(scene, origs, dirs, best_idx, best_t):
     )
 
 
+def _finalize_packed(origs, dirs, best_t, tri):
+    """_finalize for engines that fetch the winner's data in-kernel.
+
+    tri: (R, 16) packed rows [v0, e1, e2, normal, obj_id_f32, pad]
+    (geom/scene.py:_tri_fetch_table), contracted out of the scene table by
+    the pallas3 sweep kernel — XLA row-gathers of verts/normals/obj ids run
+    at ~1.5 GB/s on TPU and dominated the post-trace cost. The Moller-
+    Trumbore refinement (and its gradients w.r.t. origs/dirs) is unchanged.
+    """
+    v0 = tri[:, 0:3]
+    e1 = tri[:, 3:6]
+    e2 = tri[:, 6:9]
+    pvec = jnp.cross(dirs, e2)
+    det = jnp.sum(e1 * pvec, axis=-1)
+    tvec = origs - v0
+    qvec = jnp.cross(tvec, e1)
+    t_mt = jnp.sum(e2 * qvec, axis=-1) / jnp.where(
+        jnp.abs(det) > _DIR_EPS, det, 1.0)
+    ok = (jnp.abs(det) > _DIR_EPS) & jnp.isfinite(best_t)
+    t = jnp.where(ok, t_mt, best_t)
+
+    hit = jnp.isfinite(best_t)
+    n = tri[:, 9:12]
+    n = jnp.where(jnp.sum(n * dirs, axis=-1, keepdims=True) > 0.0, -n, n)
+    obj_f = tri[:, 12]
+    obj = jnp.where(hit & (obj_f >= 0.0), obj_f.astype(jnp.int32),
+                    INVALID_OBJ_ID)
+    return TraceResult(
+        hit=hit,
+        t=jnp.where(hit, t, jnp.inf),
+        normal=jnp.where(hit[:, None], n, 0.0),
+        obj_id=obj,
+    )
+
+
 def _plane_hits(o_aug, d, po_T, pd_T, t_min, t_max):
     """Intersect a ray block against a chunk of triangles via two matmuls.
 
