@@ -119,6 +119,10 @@ def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, o_ref, d_ref,
 
         # loop-invariant: triangle row index within a chunk (argmin helper)
         rows = jax.lax.broadcasted_iota(jnp.int32, (tc, o.shape[1]), 0)
+        # packed min+argmin needs the row index to fit in the low mantissa
+        # bits (8 bits cost 3e-5 relative t resolution, pre-refinement)
+        row_bits = (tc - 1).bit_length()
+        row_mask = (1 << row_bits) - 1 if row_bits <= 8 else None
 
         def cond(carry):
             k, done = carry
@@ -161,10 +165,25 @@ def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, o_ref, d_ref,
                 )
                 hit = inside & (t >= t_min) & (t <= t_max)
                 t_masked = jnp.where(hit, t, jnp.inf)             # (Tc, RB)
-                local_t = jnp.min(t_masked, axis=0, keepdims=True)
-                local_i = jnp.min(
-                    jnp.where(t_masked == local_t, rows, _BIG_IDX),
-                    axis=0, keepdims=True)
+                if row_mask is not None and t_min >= 0.0:
+                    # pack (t rounded UP to a 2^-(23-bits) grid, row) into
+                    # one int32 so min+argmin is a SINGLE reduce. Rounding
+                    # UP keeps the termination bound conservative (best_t
+                    # only over-estimates); the exact hit distance is
+                    # recomputed by the Moller-Trumbore refinement anyway.
+                    # Nonnegative-float bit patterns are order-preserving;
+                    # +inf is a rounding fixed point (already a multiple).
+                    tb = jax.lax.bitcast_convert_type(t_masked, jnp.int32)
+                    packed = (((tb + row_mask) & ~row_mask) | rows)
+                    local_p = jnp.min(packed, axis=0, keepdims=True)
+                    local_i = local_p & row_mask
+                    local_t = jax.lax.bitcast_convert_type(
+                        local_p & ~row_mask, jnp.float32)
+                else:
+                    local_t = jnp.min(t_masked, axis=0, keepdims=True)
+                    local_i = jnp.min(
+                        jnp.where(t_masked == local_t, rows, _BIG_IDX),
+                        axis=0, keepdims=True)
                 better = local_t[None] < best_t_ref[:]
                 best_t_ref[:] = jnp.where(better, local_t[None],
                                           best_t_ref[:])
@@ -426,11 +445,14 @@ def _coarse_bitmap(lo, hi, o_t, idv_t, bud_t, *, Cp: int, t_max: float,
 def _run_prep_kernel(lo, hi, o_aug, inv_d_t, bud_b, *, Cp: int, RB: int,
                      n_blocks: int, t_max: float, interpret: bool):
     """entry (B, Cp) + t_last (B, RB) via the fused prep kernel(s)."""
-    rbt = min(256, RB)
+    hier = Cp % _SG == 0 and Cp // _SG >= 8
+    # wider ray tiles in the hierarchical path: per-grid-cell overhead
+    # (entry-block revisit, word loop) amortizes over 2x the lanes
+    rbt = min(512 if hier else 256, RB)
     I = RB // rbt
     G = n_blocks * I
 
-    if Cp % _SG == 0 and Cp // _SG >= 8:
+    if hier:
         # hierarchical path: coarse supergroup bitmap (XLA) gates the fine
         # per-chunk tests (Pallas)
         o_t = o_aug.reshape(n_blocks, 3, I, rbt).transpose(
