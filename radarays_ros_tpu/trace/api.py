@@ -48,6 +48,10 @@ class TraceResult(NamedTuple):
     t: jnp.ndarray        # (...,) float32 hit distance (inf on miss)
     normal: jnp.ndarray   # (..., 3) float32 unit normal, oriented against ray
     obj_id: jnp.ndarray   # (...,) int32 object id (INVALID sentinel on miss)
+    # optional per-hit value fetched from a caller-provided per-triangle
+    # table (trace(tri_aux=...)); 0.0 on miss. Only the pallas3 engine
+    # fetches it in-kernel — callers on other engines gather themselves.
+    aux: jnp.ndarray = None
 
 
 def resolve_engine(engine: str) -> str:
@@ -58,8 +62,15 @@ def resolve_engine(engine: str) -> str:
 
 
 def trace(scene_arrays, origs, dirs, engine: str = "auto", t_budget=None,
-          **kwargs) -> TraceResult:
+          tri_aux=None, **kwargs) -> TraceResult:
     """Trace rays against the scene; origs/dirs shaped (..., 3).
+
+    tri_aux: optional (T,) float32 per-triangle values; the pallas3 engine
+    fetches the winning triangle's value in-kernel and returns it as
+    TraceResult.aux (0.0 on miss) — XLA row gathers by hit index run at
+    ~1.5 GB/s on TPU, so hot per-hit lookups (e.g. the object->material
+    map) should ride the kernel's fetch pass instead. Other engines ignore
+    it (aux is None); callers gather themselves there.
 
     t_budget: optional per-ray maximum hit distance, shaped like
     origs[..., 0]. A hit beyond a ray's budget is reported as a MISS (for
@@ -88,7 +99,8 @@ def trace(scene_arrays, origs, dirs, engine: str = "auto", t_budget=None,
         res = trace_planes_culled(scene_arrays, o, d, t_budget=b, **kwargs)
     elif engine == "pallas3":
         from radarays_ros_tpu.trace.pallas_trace import trace_pallas_v3
-        res = trace_pallas_v3(scene_arrays, o, d, t_budget=b, **kwargs)
+        res = trace_pallas_v3(scene_arrays, o, d, t_budget=b,
+                              tri_aux=tri_aux, **kwargs)
     else:
         raise ValueError(f"unknown trace engine {engine!r}")
     if b is not None:
@@ -103,10 +115,12 @@ def trace(scene_arrays, origs, dirs, engine: str = "auto", t_budget=None,
             t=jnp.where(ok, res.t, jnp.inf),
             normal=jnp.where(ok[:, None], res.normal, 0.0),
             obj_id=jnp.where(ok, res.obj_id, INVALID_OBJ_ID),
+            aux=None if res.aux is None else jnp.where(ok, res.aux, 0.0),
         )
     return TraceResult(
         hit=res.hit.reshape(batch_shape),
         t=res.t.reshape(batch_shape),
         normal=res.normal.reshape(batch_shape + (3,)),
         obj_id=res.obj_id.reshape(batch_shape),
+        aux=None if res.aux is None else res.aux.reshape(batch_shape),
     )

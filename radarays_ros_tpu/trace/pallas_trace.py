@@ -710,7 +710,7 @@ def _trace_pallas_v3_impl(po, pd, tri_t, chunk_lo, chunk_hi, origs, dirs,
 def trace_pallas_v3(scene, origs, dirs, t_min: float = 0.0,
                     t_max: float = 1000.0, ray_block: int = 2048,
                     t_budget=None, prep_group: int | None = None,
-                    interpret: bool | None = None, **_ignored):
+                    tri_aux=None, interpret: bool | None = None, **_ignored):
     """v3 Pallas trace: front-to-back sweep + early termination + HBM DMA.
 
     The BVH-style engine for large scenes: chunk visits stop at the block's
@@ -791,6 +791,14 @@ def trace_pallas_v3(scene, origs, dirs, t_min: float = 0.0,
             tri_t = jnp.concatenate(
                 [tri_t, jnp.zeros((16, pad_c * chunk_size), jnp.float32)],
                 axis=1)
+    if tri_aux is not None:
+        # caller-provided per-triangle values ride the kernel's winner-fetch
+        # pass as row 13 of the table (zeros otherwise)
+        aux_row = jnp.asarray(tri_aux, jnp.float32)
+        if pad_c:
+            aux_row = jnp.concatenate(
+                [aux_row, jnp.zeros((pad_c * chunk_size,), jnp.float32)])
+        tri_t = tri_t.at[13, :].set(aux_row)
     if pad_c:
         far = jnp.full((pad_c, 3), 1e9, jnp.float32)
         chunk_lo = jnp.concatenate([chunk_lo, far], axis=0)
@@ -807,4 +815,5 @@ def trace_pallas_v3(scene, origs, dirs, t_min: float = 0.0,
         sg(po_t), sg(pd_t), sg(tri_t), sg(chunk_lo), sg(chunk_hi),
         sg(origs), sg(dirs), sg(budget),
     )
-    return _finalize_packed(origs, dirs, sg(best_t), sg(tri))
+    return _finalize_packed(origs, dirs, sg(best_t), sg(tri),
+                            with_aux=tri_aux is not None)

@@ -68,7 +68,7 @@ def _finalize(scene, origs, dirs, best_idx, best_t):
     )
 
 
-def _finalize_packed(origs, dirs, best_t, tri):
+def _finalize_packed(origs, dirs, best_t, tri, with_aux: bool = False):
     """_finalize for engines that fetch the winner's data in-kernel.
 
     tri: (R, 16) packed rows [v0, e1, e2, normal, obj_id_f32, pad]
@@ -100,6 +100,7 @@ def _finalize_packed(origs, dirs, best_t, tri):
         t=jnp.where(hit, t, jnp.inf),
         normal=jnp.where(hit[:, None], n, 0.0),
         obj_id=obj,
+        aux=jnp.where(hit, tri[:, 13], 0.0) if with_aux else None,
     )
 
 

@@ -293,3 +293,31 @@ def test_golden_frame_regression(box_scene, simple_materials):
     # allow the odd 1-LSB rounding flip across backends/fusions
     assert np.mean(np.abs(got - want) > 1) < 0.001
     np.testing.assert_allclose(got, want, atol=3)
+
+
+def test_full_frame_engine_parity_pallas3(box_scene, simple_materials):
+    """A full frame on the pallas3 engine (in-kernel winner fetch + aux
+    material row) matches the culled engine bit-for-bit — exercises the
+    production TPU path's material lookup end-to-end on a multi-material
+    scene (interpret mode on CPU)."""
+    import jax
+
+    from radarays_ros_tpu.sim.pipeline import simulate_frame
+    from radarays_ros_tpu.utils.transforms import identity_pose
+
+    params = RadarParams.make(simple_materials, [1, 2], beam_width_deg=4.0)
+    base = RadarModelConfig(
+        n_angles=16, n_cells=128, n_samples=8, n_reflections=3,
+        resolution=0.25, signal_denoising=1,
+        signal_denoising_triangular_width=5,
+        signal_denoising_triangular_mode=0.4,
+        ambient_noise=1, trace_ray_block=128)
+    sa = box_scene.device_arrays()
+    key = jax.random.PRNGKey(11)
+
+    ref = simulate_frame(sa, params, base.replace(trace_engine="culled"),
+                         identity_pose(), key)
+    got = simulate_frame(sa, params, base.replace(trace_engine="pallas3"),
+                         identity_pose(), key)
+    np.testing.assert_array_equal(np.asarray(ref.image_u8),
+                                  np.asarray(got.image_u8))
