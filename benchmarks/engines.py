@@ -70,7 +70,10 @@ def saturated_trace(sa, n_rays: int, coherent: bool, seed: int = 0):
 
     @jax.jit
     def run(dd):
-        r = trace(sa, o_j, dd, engine="pallas3", ray_block=2048)
+        # incoherent rays need the spatial ray sort: the culled sweep's
+        # efficiency rests on intra-block coherence (trace/pallas_trace.py)
+        r = trace(sa, o_j, dd, engine="pallas3", ray_block=2048,
+                  sort_rays=not coherent)
         return jnp.sum(jnp.where(jnp.isfinite(r.t), r.t, 0.0)), \
             jnp.mean(r.hit.astype(jnp.float32))
 

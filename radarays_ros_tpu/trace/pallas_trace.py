@@ -321,8 +321,6 @@ def _prep_kernel_hier(bm_ref, lo_ref, hi_ref, o_ref, idv_ref, bud_ref,
     def _init():
         entry_ref[0] = jnp.full(entry_ref.shape[1:], jnp.inf, jnp.float32)
 
-    b = pl.program_id(0)
-
     def fine(js, tl):
         sl = pl.ds(js * _SG, _SG)
         t_near = None
@@ -350,7 +348,7 @@ def _prep_kernel_hier(bm_ref, lo_ref, hi_ref, o_ref, idv_ref, bud_ref,
     tl0 = jnp.full(cap.shape, -jnp.inf, jnp.float32)
 
     def word_loop(w, tl):
-        word = bm_ref[b, i, w]
+        word = bm_ref[0, i, w]
 
         # iterate over SET bits only (lowest-set-bit + clear), not all 32
         # positions: per-bit lax.cond overhead dominated the kernel
@@ -471,7 +469,10 @@ def _run_prep_kernel(lo, hi, o_aug, inv_d_t, bud_b, *, Cp: int, RB: int,
                               t_max=float(t_max)),
             grid=(n_blocks, I),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),   # bitmap (B, I, W)
+                # per-block SMEM window: a whole-array bitmap exceeds the
+                # 1 MB SMEM at ~0.5M+ rays (512+ blocks)
+                pl.BlockSpec((1, I, n_words), lambda b, i: (b, 0, 0),
+                             memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),   # lo (Cp, 3)
                 pl.BlockSpec(memory_space=pltpu.VMEM),   # hi (Cp, 3)
                 pl.BlockSpec((1, 3, rbt), lambda b, i: (b, 0, i),
@@ -707,10 +708,33 @@ def _trace_pallas_v3_impl(po, pd, tri_t, chunk_lo, chunk_hi, origs, dirs,
     return best_t.reshape(-1)[:R], best_idx.reshape(-1)[:R], tri
 
 
+def _ray_sort_key(origs, dirs):
+    """Spatial sort key for incoherent rays: direction octant (3 bits) over
+    a 6-bit-per-axis Morton code of the origin. Grouping rays that start
+    near each other and point the same way restores the block coherence
+    the sweep's culling lives on."""
+    lo = jnp.min(origs, axis=0)
+    ext = jnp.maximum(jnp.max(origs, axis=0) - lo, 1e-6)
+    q = jnp.clip((origs - lo) / ext * 63.0, 0.0, 63.0).astype(jnp.int32)
+    code = jnp.zeros(origs.shape[0], jnp.int32)
+    for b in range(6):
+        for ax in range(3):
+            code = code | (((q[:, ax] >> b) & 1) << (3 * b + ax))
+    octant = ((dirs[:, 0] > 0).astype(jnp.int32) * 4
+              + (dirs[:, 1] > 0).astype(jnp.int32) * 2
+              + (dirs[:, 2] > 0).astype(jnp.int32))
+    # origin-major, octant as tie-break: in dense scenes rays resolve within
+    # a few chunk lengths, so a block of same-cell rays (any direction)
+    # overlaps one neighborhood ball — far tighter than octant-major
+    # blocks, whose frustum is a 90-degree cone across many cells
+    return (code << 3) | octant
+
+
 def trace_pallas_v3(scene, origs, dirs, t_min: float = 0.0,
                     t_max: float = 1000.0, ray_block: int = 2048,
                     t_budget=None, prep_group: int | None = None,
-                    tri_aux=None, interpret: bool | None = None, **_ignored):
+                    tri_aux=None, sort_rays: bool = False,
+                    interpret: bool | None = None, **_ignored):
     """v3 Pallas trace: front-to-back sweep + early termination + HBM DMA.
 
     The BVH-style engine for large scenes: chunk visits stop at the block's
@@ -721,6 +745,12 @@ def trace_pallas_v3(scene, origs, dirs, t_min: float = 0.0,
     inner loop per visit). Measured worse than 1 on dense 1M-triangle
     scenes (coarser culling multiplies kernel work faster than it cuts
     prep); kept as a knob for sparse/huge scenes. Default 1.
+    sort_rays: spatially sort rays (origin Morton code + direction octant)
+    before blocking and restore order after — the engine's culling relies
+    on intra-block coherence, so fully INCOHERENT ray sets (random
+    origins/directions) run ~50x faster with it (benchmarks/engines.py
+    --saturated). Radar fans are already coherent: leave it off there
+    (the two multi-operand sorts cost more than they save).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -811,9 +841,30 @@ def trace_pallas_v3(scene, origs, dirs, t_min: float = 0.0,
     # refinement — the exact gradient conditional on the discrete hit —
     # so beam-width/pose optimization works on the production engine.
     sg = jax.lax.stop_gradient
-    best_t, best_idx, tri = impl(
-        sg(po_t), sg(pd_t), sg(tri_t), sg(chunk_lo), sg(chunk_hi),
-        sg(origs), sg(dirs), sg(budget),
-    )
+    if sort_rays:
+        # multi-operand sorts both ways (a permutation gather/scatter of
+        # this size would itself run at XLA's ~1 GB/s gather speed)
+        key = _ray_sort_key(sg(origs), sg(dirs))
+        iota = jnp.arange(origs.shape[0], dtype=jnp.int32)
+        (_, ox, oy, oz, dx, dy, dz, bud_s, inv) = jax.lax.sort(
+            (key, sg(origs[:, 0]), sg(origs[:, 1]), sg(origs[:, 2]),
+             sg(dirs[:, 0]), sg(dirs[:, 1]), sg(dirs[:, 2]), sg(budget),
+             iota), num_keys=1)
+        o_s = jnp.stack([ox, oy, oz], axis=-1)
+        d_s = jnp.stack([dx, dy, dz], axis=-1)
+        best_t, best_idx, tri = impl(
+            sg(po_t), sg(pd_t), sg(tri_t), sg(chunk_lo), sg(chunk_hi),
+            o_s, d_s, bud_s,
+        )
+        unsorted = jax.lax.sort(
+            (inv, best_t, best_idx) + tuple(tri[:, j] for j in range(16)),
+            num_keys=1)
+        best_t, best_idx = unsorted[1], unsorted[2]
+        tri = jnp.stack(unsorted[3:], axis=-1)
+    else:
+        best_t, best_idx, tri = impl(
+            sg(po_t), sg(pd_t), sg(tri_t), sg(chunk_lo), sg(chunk_hi),
+            sg(origs), sg(dirs), sg(budget),
+        )
     return _finalize_packed(origs, dirs, sg(best_t), sg(tri),
                             with_aux=tri_aux is not None)

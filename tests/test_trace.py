@@ -317,3 +317,31 @@ def test_pallas_v3_hierarchical_prep_parity(rng):
                                np.asarray(ref.t)[hit], rtol=1e-4, atol=1e-4)
     np.testing.assert_array_equal(np.asarray(ref.obj_id),
                                   np.asarray(got.obj_id))
+
+
+def test_pallas_v3_sort_rays_parity(rng):
+    """sort_rays (spatial re-blocking for incoherent ray sets) is a
+    permutation: results must be identical to the unsorted trace."""
+    from radarays_ros_tpu.geom.primitives import make_urban_scene
+    from radarays_ros_tpu.geom.scene import Scene
+
+    parts, names = make_urban_scene(n_buildings=60, extent=80.0, seed=4)
+    scene = Scene.compose(parts, names, chunk_size=16)
+    sa = scene.device_arrays()
+
+    n = 500
+    o = jnp.asarray(rng.uniform(-60, 60, (n, 3)), jnp.float32)
+    d = rng.normal(size=(n, 3))
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True),
+                    jnp.float32)
+    bud = jnp.asarray(rng.choice([15.0, 1000.0], n), jnp.float32)
+
+    ref = trace(sa, o, d, engine="pallas3", t_budget=bud, ray_block=128)
+    got = trace(sa, o, d, engine="pallas3", t_budget=bud, ray_block=128,
+                sort_rays=True)
+    np.testing.assert_array_equal(np.asarray(ref.hit), np.asarray(got.hit))
+    hit = np.asarray(ref.hit)
+    np.testing.assert_allclose(np.asarray(got.t)[hit],
+                               np.asarray(ref.t)[hit], rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ref.obj_id),
+                                  np.asarray(got.obj_id))
