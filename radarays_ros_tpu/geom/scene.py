@@ -234,9 +234,14 @@ class Scene:
             raise ValueError("empty scene")
 
         # pad FIRST (far degenerate triangles cluster into their own
-        # leaves), so the median split can keep every leaf exactly full
+        # leaves), so the median split can keep every leaf exactly full.
+        # The chunk count is rounded to a multiple of 8 so every
+        # prep_group in {1,2,4,8} divides it — otherwise the tracer falls
+        # off its precomputed-table fast path (at 10M triangles the
+        # on-the-fly relayout materializes ~20 GB)
         T = verts.shape[0]
         C = -(-T // self.chunk_size)
+        C = -(-C // 8) * 8
         pad = C * self.chunk_size - T
         if pad:
             far = np.full((pad, 3, 3), 1e8, np.float32)

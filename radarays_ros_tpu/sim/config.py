@@ -157,6 +157,11 @@ class RadarModelConfig:
     trace_ray_block: int = 2048
     trace_tri_chunk: int = 2048
     trace_k_chunks: Optional[int] = None
+    # pallas3 culling supergroup (chunks ranked/DMA'd together). 1 is best
+    # for <=~2M-triangle scenes; raise to 4-8 beyond ~5M triangles so the
+    # per-block chunk-entry table stays inside the kernel's VMEM scope
+    # (chunk_size stays 256 — the sweep's matmul tile).
+    trace_prep_group: int = 1
 
     def denoiser(self) -> Tuple[Optional[np.ndarray], int]:
         """Use-time denoise kernel + mode (see image/denoise.py)."""

@@ -127,6 +127,8 @@ def _bounce(cfg: RadarModelConfig, params: RadarParams, scene: SceneArrays,
         t_budget=budget,
         tri_aux=tri_aux,
         ray_block=cfg.trace_ray_block,
+        **({"prep_group": cfg.trace_prep_group}
+           if engine == "pallas3" and cfg.trace_prep_group != 1 else {}),
         **({"tri_chunk": cfg.trace_tri_chunk} if engine == "mxu" else {}),
         **({"k_chunks": cfg.trace_k_chunks} if engine == "culled" else {}),
     )

@@ -226,8 +226,8 @@ def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, o_ref, d_ref,
         @pl.when(k_final > 0)
         def _fetch():
             tri_dma(0, 0).start()
-            rows_g = jax.lax.broadcasted_iota(
-                jnp.int32, (group * tc, o.shape[1]), 0)
+            rows_f = jax.lax.broadcasted_iota(
+                jnp.int32, (tc, o.shape[1]), 0)
 
             def fbody(k, _):
                 slot = jax.lax.rem(k, 2)
@@ -238,13 +238,14 @@ def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, o_ref, d_ref,
 
                 tri_dma(k, slot).wait()
                 c = order_ref[k // W, k % W]
-                onehot = (rows_g + c * group * tc
-                          == best_idx_ref[0, 0, :]).astype(jnp.float32)
                 dn = (((1,), (0,)), ((), ()))
-                contrib = jax.lax.dot_general(
-                    tri_buf[slot], onehot, dn,
-                    preferred_element_type=jnp.float32)     # (16, RB)
-                tri_ref[0] = tri_ref[0] + contrib
+                for g in range(group):  # tile by g: keep onehot (Tc, RB)
+                    onehot = (rows_f + (c * group + g) * tc
+                              == best_idx_ref[0, 0, :]).astype(jnp.float32)
+                    contrib = jax.lax.dot_general(
+                        tri_buf[slot, :, g * tc:(g + 1) * tc], onehot, dn,
+                        preferred_element_type=jnp.float32)  # (16, RB)
+                    tri_ref[0] = tri_ref[0] + contrib
                 return 0
 
             jax.lax.fori_loop(0, k_final, fbody, 0)

@@ -321,3 +321,26 @@ def test_full_frame_engine_parity_pallas3(box_scene, simple_materials):
                          identity_pose(), key)
     np.testing.assert_array_equal(np.asarray(ref.image_u8),
                                   np.asarray(got.image_u8))
+
+
+def test_full_frame_prep_group_parity(box_scene, simple_materials):
+    """trace_prep_group (the >5M-triangle scaling knob) plumbs through the
+    pipeline and keeps frames bit-identical."""
+    import jax
+
+    from radarays_ros_tpu.sim.pipeline import simulate_frame
+    from radarays_ros_tpu.utils.transforms import identity_pose
+
+    params = RadarParams.make(simple_materials, [1, 2], beam_width_deg=4.0)
+    base = RadarModelConfig(
+        n_angles=8, n_cells=96, n_samples=6, n_reflections=2,
+        resolution=0.3, signal_denoising=0, ambient_noise=0,
+        trace_engine="pallas3", trace_ray_block=128)
+    sa = box_scene.device_arrays()
+    key = jax.random.PRNGKey(3)
+
+    ref = simulate_frame(sa, params, base, identity_pose(), key)
+    got = simulate_frame(sa, params, base.replace(trace_prep_group=2),
+                         identity_pose(), key)
+    np.testing.assert_array_equal(np.asarray(ref.image_u8),
+                                  np.asarray(got.image_u8))

@@ -200,14 +200,15 @@ def test_per_ray_budget_contract(engine, rng):
 @pytest.mark.parametrize("prep_group", [2, 4, 8])
 def test_pallas_v3_supergroup_parity(prep_group, rng):
     """Supergrouped culling (prep_group chunks per ranked supergroup) must
-    stay exact, including when the chunk count is not divisible by the
-    group (never-hit padding chunks) and with per-ray budgets."""
+    stay exact, with per-ray budgets. Scene.device_arrays pads chunk
+    counts to a multiple of 8, so every group here divides it and the
+    precomputed-table fast path is exercised."""
     from radarays_ros_tpu.geom.primitives import make_urban_scene
 
     parts, names = make_urban_scene(n_buildings=24, extent=60.0, seed=3)
     scene = Scene.compose(parts, names, chunk_size=16)
     sa = scene.device_arrays()
-    assert sa.chunk_aabb_lo.shape[0] % prep_group != 0 or prep_group == 2
+    assert sa.chunk_aabb_lo.shape[0] % 8 == 0
 
     n = 300
     az = rng.uniform(0, 2 * np.pi, n)
