@@ -24,14 +24,15 @@ import time
 import numpy as np
 
 
-def build_benchmark(n_buildings: int):
+def build_benchmark(n_buildings: int, extent: float = 300.0,
+                    prep_group: int = 1):
     import jax
 
     from radarays_ros_tpu.geom.primitives import make_urban_scene
     from radarays_ros_tpu.geom.scene import Scene
     from radarays_ros_tpu.sim.config import Materials, RadarModelConfig, RadarParams
 
-    parts, names = make_urban_scene(n_buildings=n_buildings, extent=300.0,
+    parts, names = make_urban_scene(n_buildings=n_buildings, extent=extent,
                                     seed=7)
     scene = Scene.compose(parts, names, chunk_size=256)
 
@@ -66,13 +67,15 @@ def build_benchmark(n_buildings: int):
         opaque_materials=True,  # wall-stone velocity 0: refraction provably dead
         trace_engine="pallas3",
         trace_ray_block=2048,
+        trace_prep_group=prep_group,
         draw_method="pallas",
     )
     key = jax.random.PRNGKey(0)
     return scene.device_arrays(), params, cfg, key
 
 
-def measure_scale(n_buildings: int, n_iters: int = 7, batch: int = 20):
+def measure_scale(n_buildings: int, n_iters: int = 7, batch: int = 20,
+                  extent: float = 300.0, prep_group: int = 1):
     """Fenced frame throughput at one scene scale.
 
     NOTE on methodology: through the axon relay, block_until_ready() does
@@ -91,7 +94,8 @@ def measure_scale(n_buildings: int, n_iters: int = 7, batch: int = 20):
     from radarays_ros_tpu.sim.pipeline import simulate_frames_jit
     from radarays_ros_tpu.utils.transforms import make_pose
 
-    scene, params, cfg, key = build_benchmark(n_buildings)
+    scene, params, cfg, key = build_benchmark(n_buildings, extent=extent,
+                                              prep_group=prep_group)
     scene = jax.device_put(scene)
     params = jax.device_put(params)
     pose = jnp.asarray(make_pose([0.0, 0.0, 2.0]))
@@ -133,6 +137,17 @@ def main():
     big_best, big_tmed, big_tris, cfg = measure_scale(n_buildings=83000)
     # companion: the ~10k-triangle round-1 scene (regression guard)
     small_best, small_tmed, small_tris, _ = measure_scale(n_buildings=800)
+    # companion: 10x the flagship scale (~10M triangles; prep_group=4 keeps
+    # the chunk-entry table inside the kernel VMEM scope). Guarded: a
+    # failure here must not take down the headline measurement.
+    try:
+        huge_best, huge_tmed, huge_tris, _ = measure_scale(
+            n_buildings=830000, extent=950.0, prep_group=4)
+        huge = {"best_hz": round(huge_best, 3),
+                "trimmed_median_hz": round(huge_tmed, 3),
+                "n_triangles": huge_tris}
+    except Exception as e:  # pragma: no cover - defensive for the driver
+        huge = {"error": str(e)[:200]}
 
     rays_per_frame = cfg.n_angles * cfg.n_samples * cfg.n_reflections
     print(json.dumps({
@@ -148,6 +163,7 @@ def main():
                 "trimmed_median_hz": round(small_tmed, 3),
                 "n_triangles": small_tris,
             },
+            "scale_10m": huge,
             "mrays_per_sec": round(big_best * rays_per_frame / 1e6, 2),
             "rays_per_frame": rays_per_frame,
             "device": str(jax.devices()[0]),
