@@ -7,7 +7,7 @@ triangle, and an object->material lookup table (the `object_materials` ROS
 param, Radar.cpp:220-226). Host-side state is NumPy; `device_arrays()`
 produces the jnp pytree consumed by the tracers, including precomputed
 plane-equation coefficients for the MXU tracer (trace/planes.py) and
-Morton-ordered chunks + AABBs for the culled tracers.
+median-split leaf chunks + AABBs for the culled tracers.
 """
 
 from __future__ import annotations
@@ -157,26 +157,6 @@ def _tri_fetch_table(verts: np.ndarray, normals: np.ndarray,
     obj = obj_ids.astype(np.int64)
     out[12] = np.where((obj >= 0) & (obj < 2**24), obj, -1).astype(np.float32)
     return out
-
-
-def _morton_order(centers: np.ndarray) -> np.ndarray:
-    """Sort key: 30-bit 3D Morton code of quantized triangle centroids."""
-    lo = centers.min(axis=0)
-    hi = centers.max(axis=0)
-    q = ((centers - lo) / np.maximum(hi - lo, 1e-12) * 1023.0).astype(np.uint32)
-
-    def spread(x):
-        x = x.astype(np.uint64)
-        x = (x | (x << 16)) & np.uint64(0x030000FF)
-        x = (x | (x << 8)) & np.uint64(0x0300F00F)
-        x = (x | (x << 4)) & np.uint64(0x030C30C3)
-        x = (x | (x << 2)) & np.uint64(0x09249249)
-        return x
-
-    code = spread(q[:, 0]) | (spread(q[:, 1]) << np.uint64(1)) | (
-        spread(q[:, 2]) << np.uint64(2)
-    )
-    return np.argsort(code, kind="stable")
 
 
 @dataclasses.dataclass

@@ -2,8 +2,8 @@
 
 The reference delegates its host-side heavy lifting (BVH build, mesh parsing)
 to native code (rmagine/Embree, CMakeLists.txt:29-36). Our TPU runtime keeps
-the compute path in XLA but implements the host-side builders — Morton
-ordering, chunk AABBs, binary PLY parsing — in C++ (native/src/builder.cpp)
+the compute path in XLA but implements the host-side builders — median-split
+leaf ordering, chunk AABBs, binary PLY parsing — in C++ (native/src/builder.cpp)
 with a NumPy fallback when the shared library has not been compiled.
 
 Build with:  make -C radarays_ros_tpu/native
@@ -32,12 +32,6 @@ def _lib():
     try:
         lib = ctypes.CDLL(str(so))
         fp = ctypes.POINTER(ctypes.c_float)
-        lib.rr_morton_order.argtypes = [
-            fp,                              # centers (N,3)
-            ctypes.c_int64,                  # N
-            ctypes.POINTER(ctypes.c_int64),  # out order (N,)
-        ]
-        lib.rr_morton_order.restype = None
         lib.rr_median_split_order.argtypes = [
             fp, ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64)]
@@ -66,19 +60,6 @@ def available() -> bool:
 
 def _fp(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
-
-
-def morton_order(centers: np.ndarray) -> np.ndarray:
-    """Morton-code argsort of (N, 3) points via the C++ builder."""
-    lib = _lib()
-    centers = np.ascontiguousarray(centers, np.float32)
-    n = centers.shape[0]
-    out = np.empty(n, np.int64)
-    lib.rr_morton_order(
-        _fp(centers), ctypes.c_int64(n),
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-    )
-    return out
 
 
 def median_split_order(centers: np.ndarray, chunk_size: int) -> np.ndarray:

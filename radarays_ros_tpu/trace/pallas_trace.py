@@ -10,7 +10,7 @@ BVH traversal:
     SD = PD_chunk @ d_aug^T as (4*Tc, 4) x (4, RB) MXU matmuls, so every
     reduction (nearest-hit min/argmin) is a sublane reduction onto the
     (1, RB) accumulator — no transposes anywhere.
-  * Per ray block, Morton chunks are ranked front-to-back by slab-entry
+  * Per ray block, the median-split leaf chunks are ranked front-to-back by slab-entry
     distance (XLA prep); the in-kernel `lax.while_loop` sweep stops once no
     active lane's best hit can be beaten by any remaining chunk — the BVH
     termination criterion, applied block-wide with per-lane overlap
@@ -50,9 +50,10 @@ _BIG_IDX = 2**30  # python literal: jnp constants would be captured by the kerne
 
 def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, o_ref, d_ref,
                      tlast_ref, po_hbm, pd_hbm, tri_hbm, best_t_ref,
-                     best_idx_ref, tri_ref,
+                     tri_ref,
                      order_ref, entry_ref, idx_sem,
-                     po_buf, pd_buf, po_sem, pd_sem, tri_buf, tri_sem, *,
+                     po_buf, pd_buf, po_sem, pd_sem, tri_buf, tri_sem,
+                     best_idx_ref, *,
                      tc: int, group: int, t_min: float, t_max: float):
     """v3: ordered chunk sweep with early termination and HBM->VMEM DMA.
 
@@ -97,7 +98,7 @@ def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, o_ref, d_ref,
     def dma(k, slot):
         # planes live transposed in HBM as (4, C*4*Tc) so the DMA's trailing
         # dimension (the slab, a multiple of 128) satisfies lane tiling.
-        # One visit covers a SUPERGROUP of `group` consecutive Morton chunks
+        # One visit covers a SUPERGROUP of `group` consecutive leaf chunks
         # (one contiguous slab): culling/ranking granularity is group*tc
         # triangles (cheap prep at scale), compute granularity stays tc
         # (the inner static loop below keeps the matmul intermediates small)
@@ -119,10 +120,6 @@ def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, o_ref, d_ref,
 
         # loop-invariant: triangle row index within a chunk (argmin helper)
         rows = jax.lax.broadcasted_iota(jnp.int32, (tc, o.shape[1]), 0)
-        # packed min+argmin needs the row index to fit in the low mantissa
-        # bits (8 bits cost 3e-5 relative t resolution, pre-refinement)
-        row_bits = (tc - 1).bit_length()
-        row_mask = (1 << row_bits) - 1 if row_bits <= 8 else None
 
         def cond(carry):
             k, done = carry
@@ -165,25 +162,15 @@ def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, o_ref, d_ref,
                 )
                 hit = inside & (t >= t_min) & (t <= t_max)
                 t_masked = jnp.where(hit, t, jnp.inf)             # (Tc, RB)
-                if row_mask is not None and t_min >= 0.0:
-                    # pack (t rounded UP to a 2^-(23-bits) grid, row) into
-                    # one int32 so min+argmin is a SINGLE reduce. Rounding
-                    # UP keeps the termination bound conservative (best_t
-                    # only over-estimates); the exact hit distance is
-                    # recomputed by the Moller-Trumbore refinement anyway.
-                    # Nonnegative-float bit patterns are order-preserving;
-                    # +inf is a rounding fixed point (already a multiple).
-                    tb = jax.lax.bitcast_convert_type(t_masked, jnp.int32)
-                    packed = (((tb + row_mask) & ~row_mask) | rows)
-                    local_p = jnp.min(packed, axis=0, keepdims=True)
-                    local_i = local_p & row_mask
-                    local_t = jax.lax.bitcast_convert_type(
-                        local_p & ~row_mask, jnp.float32)
-                else:
-                    local_t = jnp.min(t_masked, axis=0, keepdims=True)
-                    local_i = jnp.min(
-                        jnp.where(t_masked == local_t, rows, _BIG_IDX),
-                        axis=0, keepdims=True)
+                # NOTE: a single packed (t-rounded, row) min-reduce was
+                # measured ~1 ms/trace faster here but picks the FARTHER of
+                # two sub-grid-separated surfaces (confirmed by repro) —
+                # rejected: every engine must match the brute oracle
+                # exactly (tests/test_trace.py).
+                local_t = jnp.min(t_masked, axis=0, keepdims=True)
+                local_i = jnp.min(
+                    jnp.where(t_masked == local_t, rows, _BIG_IDX),
+                    axis=0, keepdims=True)
                 better = local_t[None] < best_t_ref[:]
                 best_t_ref[:] = jnp.where(better, local_t[None],
                                           best_t_ref[:])
@@ -251,6 +238,29 @@ def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, o_ref, d_ref,
             jax.lax.fori_loop(0, k_final, fbody, 0)
 
 
+
+def _slab_keep(lo_rows, hi_rows, o, idv, cap, alive):
+    """Shared ray-vs-AABB slab test (all culling-prep kernels).
+
+    lo/hi_rows: (N, 3) box slabs; o/idv: (3, RBt) ray origins and inverse
+    directions; cap: (1, RBt) per-lane sweep cap; alive: cap > 0.
+    Returns (keep (N, RBt) — ray may enter the box within its cap,
+    tn0 (N, RBt) — entry distance clamped to >= 0).
+    """
+    t_near = None
+    t_far = None
+    for k in range(3):
+        t0 = (lo_rows[:, k:k + 1] - o[k:k + 1, :]) * idv[k:k + 1, :]
+        t1 = (hi_rows[:, k:k + 1] - o[k:k + 1, :]) * idv[k:k + 1, :]
+        tn_k = jnp.minimum(t0, t1)
+        tf_k = jnp.maximum(t0, t1)
+        t_near = tn_k if t_near is None else jnp.maximum(t_near, tn_k)
+        t_far = tf_k if t_far is None else jnp.minimum(t_far, tf_k)
+    tn0 = jnp.maximum(t_near, 0.0)
+    keep = (t_far >= tn0) & (t_near <= cap) & alive
+    return keep, tn0
+
+
 def _prep_kernel(lo_ref, hi_ref, o_ref, idv_ref, bud_ref,
                  entry_ref, tlast_ref, *, ct: int, n_ctiles: int,
                  t_max: float):
@@ -272,21 +282,8 @@ def _prep_kernel(lo_ref, hi_ref, o_ref, idv_ref, bud_ref,
     tl = jnp.full(cap.shape, -jnp.inf, jnp.float32)
     for j in range(n_ctiles):
         sl = slice(j * ct, (j + 1) * ct)
-        t_near = None
-        t_far = None
-        for k in range(3):
-            lo_k = lo_ref[sl, k:k + 1]                  # (Ct, 1)
-            hi_k = hi_ref[sl, k:k + 1]
-            o_k = o[k:k + 1, :]                         # (1, RBt)
-            idv_k = idv[k:k + 1, :]
-            t0 = (lo_k - o_k) * idv_k                   # (Ct, RBt)
-            t1 = (hi_k - o_k) * idv_k
-            tn_k = jnp.minimum(t0, t1)
-            tf_k = jnp.maximum(t0, t1)
-            t_near = tn_k if t_near is None else jnp.maximum(t_near, tn_k)
-            t_far = tf_k if t_far is None else jnp.minimum(t_far, tf_k)
-        tn0 = jnp.maximum(t_near, 0.0)
-        keep = (t_far >= tn0) & (t_near <= cap) & alive
+        keep, tn0 = _slab_keep(lo_ref[sl, :], hi_ref[sl, :], o, idv, cap,
+                               alive)
         tn_eff = jnp.where(keep, tn0, jnp.inf)
         entry_ref[0, sl, :] = jnp.min(tn_eff, axis=1, keepdims=True)
         tl = jnp.maximum(tl, jnp.max(jnp.where(keep, tn0, -jnp.inf),
@@ -324,21 +321,8 @@ def _prep_kernel_hier(bm_ref, lo_ref, hi_ref, o_ref, idv_ref, bud_ref,
 
     def fine(js, tl):
         sl = pl.ds(js * _SG, _SG)
-        t_near = None
-        t_far = None
-        for k in range(3):
-            lo_k = lo_ref[sl, k:k + 1]                  # (SG, 1)
-            hi_k = hi_ref[sl, k:k + 1]
-            o_k = o[k:k + 1, :]                         # (1, RBt)
-            idv_k = idv[k:k + 1, :]
-            t0 = (lo_k - o_k) * idv_k                   # (SG, RBt)
-            t1 = (hi_k - o_k) * idv_k
-            tn_k = jnp.minimum(t0, t1)
-            tf_k = jnp.maximum(t0, t1)
-            t_near = tn_k if t_near is None else jnp.maximum(t_near, tn_k)
-            t_far = tf_k if t_far is None else jnp.minimum(t_far, tf_k)
-        tn0 = jnp.maximum(t_near, 0.0)
-        keep = (t_far >= tn0) & (t_near <= cap) & alive
+        keep, tn0 = _slab_keep(lo_ref[sl, :], hi_ref[sl, :], o, idv, cap,
+                               alive)
         tn_eff = jnp.where(keep, tn0, jnp.inf)
         cur = entry_ref[0, sl, :]
         entry_ref[0, sl, :] = jnp.minimum(
@@ -381,20 +365,7 @@ def _coarse_kernel(slo_ref, shi_ref, o_ref, idv_ref, bud_ref, ov_ref, *,
     idv = idv_ref[0]
     cap = jnp.minimum(jnp.float32(t_max), bud_ref[0])   # (1, RBt)
     alive = cap > 0.0
-    t_near = None
-    t_far = None
-    for k in range(3):
-        lo_k = slo_ref[:, k:k + 1]                      # (Sp, 1)
-        hi_k = shi_ref[:, k:k + 1]
-        o_k = o[k:k + 1, :]                             # (1, RBt)
-        idv_k = idv[k:k + 1, :]
-        t0 = (lo_k - o_k) * idv_k                       # (Sp, RBt)
-        t1 = (hi_k - o_k) * idv_k
-        tn_k = jnp.minimum(t0, t1)
-        tf_k = jnp.maximum(t0, t1)
-        t_near = tn_k if t_near is None else jnp.maximum(t_near, tn_k)
-        t_far = tf_k if t_far is None else jnp.minimum(t_far, tf_k)
-    keep = (t_far >= jnp.maximum(t_near, 0.0)) & (t_near <= cap) & alive
+    keep, _ = _slab_keep(slo_ref[:, :], shi_ref[:, :], o, idv, cap, alive)
     ov_ref[0] = jnp.any(keep, axis=1, keepdims=True).astype(jnp.int32)
 
 
@@ -436,7 +407,7 @@ def _coarse_bitmap(lo, hi, o_t, idv_t, bud_t, *, Cp: int, t_max: float,
 
     bits = overlap[:, :, 0].reshape(G, Sp // 32, 32)
     # distinct powers of two: the sum IS the bitwise OR (1<<31 wraps to the
-    # int32 sign bit, which the kernel's shift_right_logical handles)
+    # int32 sign bit; the kernel's lowest-set-bit scan handles it)
     weights = jnp.left_shift(jnp.int32(1), jnp.arange(32, dtype=jnp.int32))
     return jnp.sum(bits * weights[None, None, :], axis=-1, dtype=jnp.int32)
 
@@ -446,8 +417,11 @@ def _run_prep_kernel(lo, hi, o_aug, inv_d_t, bud_b, *, Cp: int, RB: int,
     """entry (B, Cp) + t_last (B, RB) via the fused prep kernel(s)."""
     hier = Cp % _SG == 0 and Cp // _SG >= 8
     # wider ray tiles in the hierarchical path: per-grid-cell overhead
-    # (entry-block revisit, word loop) amortizes over 2x the lanes
-    rbt = min(512 if hier else 256, RB)
+    # (entry-block revisit, word loop) amortizes over 2x the lanes. The
+    # tile must DIVIDE the ray block (ray_block is any multiple of 128,
+    # e.g. 768), so fall back through 256 to 128
+    want = 512 if hier else 256
+    rbt = next(r for r in (want, 256, 128) if RB % r == 0)
     I = RB // rbt
     G = n_blocks * I
 
@@ -567,13 +541,13 @@ def _v3_callable(chunk_size: int, ray_block: int, group: int, t_min: float,
         # the front-to-back rank order serves every lane at once, so the
         # sweep terminates earlier. Exact: lanes are independent; this is a
         # permutation, inverted on the outputs.
-        t, idx, tri = impl(po_t, pd_t, tri_t, chunk_lo, chunk_hi,
-                           o.transpose(1, 0, 2).reshape(-1, 3),
-                           d.transpose(1, 0, 2).reshape(-1, 3),
-                           b.transpose(1, 0).reshape(-1))
-        return (t.reshape(R, axis_size).T, idx.reshape(R, axis_size).T,
+        t, tri = impl(po_t, pd_t, tri_t, chunk_lo, chunk_hi,
+                      o.transpose(1, 0, 2).reshape(-1, 3),
+                      d.transpose(1, 0, 2).reshape(-1, 3),
+                      b.transpose(1, 0).reshape(-1))
+        return (t.reshape(R, axis_size).T,
                 tri.reshape(R, axis_size, 16).transpose(1, 0, 2)), \
-            (True, True, True)
+            (True, True)
 
     return impl
 
@@ -602,7 +576,7 @@ def _trace_pallas_v3_impl(po, pd, tri_t, chunk_lo, chunk_hi, origs, dirs,
     bud = jnp.concatenate([budget, jnp.zeros((pad,), jnp.float32)], axis=0)
     n_blocks = o.shape[0] // RB
 
-    # supergroup AABBs: culling granularity = group consecutive Morton
+    # supergroup AABBs: culling granularity = group consecutive leaf
     # chunks (their triangles are one contiguous plane slab in HBM)
     C2 = C // group
     sg_lo = chunk_lo.reshape(C2, group, 3).min(axis=1)
@@ -661,7 +635,7 @@ def _trace_pallas_v3_impl(po, pd, tri_t, chunk_lo, chunk_hi, origs, dirs,
         _trace_kernel_v3, tc=tc, group=group,
         t_min=float(t_min), t_max=float(t_max))
 
-    best_t, best_idx, tri_rows = pl.pallas_call(
+    best_t, tri_rows = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
         in_specs=[
@@ -681,14 +655,11 @@ def _trace_pallas_v3_impl(po, pd, tri_t, chunk_lo, chunk_hi, origs, dirs,
         out_specs=[
             pl.BlockSpec((1, 1, RB), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, RB), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 16, RB), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),   # winner rows
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n_blocks, 1, RB), jnp.float32),
-            jax.ShapeDtypeStruct((n_blocks, 1, RB), jnp.int32),
             jax.ShapeDtypeStruct((n_blocks, 16, RB), jnp.float32),
         ],
         scratch_shapes=[
@@ -701,12 +672,15 @@ def _trace_pallas_v3_impl(po, pd, tri_t, chunk_lo, chunk_hi, origs, dirs,
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((2, 16, group * tc), jnp.float32),     # tri dbl buf
             pltpu.SemaphoreType.DMA((2,)),
+            # the winning GLOBAL triangle index is only needed inside the
+            # kernel (it drives the winner-fetch one-hot); scratch, not out
+            pltpu.VMEM((1, 1, RB), jnp.int32),
         ],
         interpret=interpret,
     )(nvisit, order, entry_pad, o_aug, d_aug, t_last, po, pd, tri_t)
 
     tri = tri_rows.transpose(0, 2, 1).reshape(-1, 16)[:R]
-    return best_t.reshape(-1)[:R], best_idx.reshape(-1)[:R], tri
+    return best_t.reshape(-1)[:R], tri
 
 
 def _ray_sort_key(origs, dirs):
@@ -780,6 +754,10 @@ def trace_pallas_v3(scene, origs, dirs, t_min: float = 0.0,
         po_t = jnp.asarray(po_t)
         pd_t = jnp.asarray(scene.planes_d_t)
     else:
+        # fallback for hand-built SceneArrays or non-dividing prep_group:
+        # jnp re-statement of geom/scene.py:_kernel_plane_layout plus the
+        # group padding — keep in sync (parity covered by
+        # tests/test_trace.py::test_pallas_v3_nondividing_group_...)
         planes_o = jnp.asarray(scene.planes_o)
         planes_d = jnp.asarray(scene.planes_d)
         if pad_c:
@@ -853,17 +831,17 @@ def trace_pallas_v3(scene, origs, dirs, t_min: float = 0.0,
              iota), num_keys=1)
         o_s = jnp.stack([ox, oy, oz], axis=-1)
         d_s = jnp.stack([dx, dy, dz], axis=-1)
-        best_t, best_idx, tri = impl(
+        best_t, tri = impl(
             sg(po_t), sg(pd_t), sg(tri_t), sg(chunk_lo), sg(chunk_hi),
             o_s, d_s, bud_s,
         )
         unsorted = jax.lax.sort(
-            (inv, best_t, best_idx) + tuple(tri[:, j] for j in range(16)),
+            (inv, best_t) + tuple(tri[:, j] for j in range(16)),
             num_keys=1)
-        best_t, best_idx = unsorted[1], unsorted[2]
-        tri = jnp.stack(unsorted[3:], axis=-1)
+        best_t = unsorted[1]
+        tri = jnp.stack(unsorted[2:], axis=-1)
     else:
-        best_t, best_idx, tri = impl(
+        best_t, tri = impl(
             sg(po_t), sg(pd_t), sg(tri_t), sg(chunk_lo), sg(chunk_hi),
             sg(origs), sg(dirs), sg(budget),
         )

@@ -14,9 +14,9 @@ Both matmuls ride the MXU; only the cheap select/compare tail runs on the VPU.
 Two variants:
   * trace_planes        — all triangles, scanned in T-chunks (exact).
   * trace_planes_culled — per ray-block chunk-AABB culling: only the K
-    nearest-entry Morton chunks that the block's rays can touch are tested.
+    nearest-entry leaf chunks that the block's rays can touch are tested.
     Exact when K >= n_chunks; otherwise a hit can only be missed if more than
-    K chunks lie closer than the true hit — with Morton-coherent chunks and
+    K chunks lie closer than the true hit — with median-split leaf chunks and
     K sized via `suggest_k` this does not happen in practice (validated
     against "brute" in tests).
 """
@@ -209,7 +209,7 @@ def trace_planes_culled(scene, origs, dirs, t_min: float = 0.0,
     """Ordered chunk sweep with early termination — an XLA-native "BVH-lite".
 
     Per block of `ray_block` rays:
-      1. slab-test every Morton chunk AABB against all rays (VPU), giving
+      1. slab-test every chunk AABB against all rays (VPU), giving
          per-ray entry distances t_near (inf when a ray misses the chunk);
       2. rank chunks by the earliest entry over the block (front-to-back for
          the block as a whole);

@@ -1,6 +1,6 @@
 """Native C++ builder parity vs the NumPy reference implementations.
 
-The host-side scene build (Morton order, chunk AABBs, plane precompute) has
+The host-side scene build (median-split order, chunk AABBs, plane precompute) has
 two implementations: C++ (native/src/builder.cpp, the counterpart of the
 reference's native rmagine map build) and NumPy (geom/scene.py). They must
 agree bit-for-bit on ordering and to float tolerance on geometry.
@@ -20,14 +20,6 @@ pytestmark = pytest.mark.skipif(
 @pytest.fixture(scope="module")
 def tris(rng=None):
     return np.random.default_rng(11).normal(size=(2048, 3, 3)).astype(np.float32)
-
-
-def test_morton_order_parity(tris):
-    from radarays_ros_tpu.geom.scene import _morton_order
-
-    centers = tris.mean(axis=1)
-    np.testing.assert_array_equal(nb.morton_order(centers),
-                                  _morton_order(centers))
 
 
 def test_triangle_planes_parity(tris):

@@ -352,3 +352,44 @@ def test_pallas_v3_sort_rays_parity(rng):
     assert diff.mean() < 0.02
     np.testing.assert_allclose(np.asarray(got.t)[diff],
                                np.asarray(ref.t)[diff], rtol=1e-4)
+
+
+def test_pallas_v3_nondividing_group_and_odd_ray_block(rng):
+    """Regression cover for two fallback paths: a prep_group that does NOT
+    divide the chunk count (pad_c path: on-the-fly table relayout +
+    tri_aux padding), and a ray_block that is a multiple of 256 but not
+    512 (the hierarchical prep must pick a dividing ray tile)."""
+    from radarays_ros_tpu.geom.primitives import make_urban_scene
+    from radarays_ros_tpu.geom.scene import Scene
+    from radarays_ros_tpu.trace import pallas_trace as P
+
+    parts, names = make_urban_scene(n_buildings=220, extent=120.0, seed=9)
+    scene = Scene.compose(parts, names, chunk_size=8)
+    sa = scene.device_arrays()
+    C = sa.chunk_aabb_lo.shape[0]
+    assert C % 5 != 0 and C >= 8 * P._SG
+
+    n = 256
+    az = rng.uniform(0, 2 * np.pi, n)
+    el = rng.uniform(-0.2, 0.4, n)
+    d = np.stack([np.cos(el) * np.cos(az), np.cos(el) * np.sin(az),
+                  np.sin(el)], -1)
+    o = np.broadcast_to(np.array([0, 0, 2.0], np.float32), (n, 3))
+    o, d = jnp.asarray(o, jnp.float32), jnp.asarray(d, jnp.float32)
+    aux = jnp.arange(sa.verts.shape[0], dtype=jnp.float32) % 97.0
+
+    ref = trace(sa, o, d, engine="brute")
+    got = trace(sa, o, d, engine="pallas3", ray_block=128, prep_group=5,
+                tri_aux=aux)
+    np.testing.assert_array_equal(np.asarray(ref.hit), np.asarray(got.hit))
+    hit = np.asarray(ref.hit)
+    np.testing.assert_allclose(np.asarray(got.t)[hit],
+                               np.asarray(ref.t)[hit], rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(ref.obj_id),
+                                  np.asarray(got.obj_id))
+
+    # odd-but-legal ray block: 768 = 3*256 (hier ray tile falls back to 256)
+    got2 = trace(sa, o, d, engine="pallas3", ray_block=768)
+    np.testing.assert_array_equal(np.asarray(ref.hit), np.asarray(got2.hit))
+    np.testing.assert_allclose(np.asarray(got2.t)[hit],
+                               np.asarray(ref.t)[hit], rtol=1e-4, atol=1e-4)
