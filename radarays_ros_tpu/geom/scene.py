@@ -29,13 +29,15 @@ class SceneArrays(NamedTuple):
     chunk_aabb_lo: np.ndarray    # (C, 3) chunk AABB minima
     chunk_aabb_hi: np.ndarray    # (C, 3) chunk AABB maxima
     chunk_size: int              # triangles per chunk (static)
-    # Pallas-kernel DMA layout of the plane tables, (4, C*4*chunk_size) with
-    # chunk-major [support|edge0|edge1|edge2] row groups (planes_d zero-padded
-    # to 4 coords). Scene-constant: precomputing it here keeps a ~2x128 MB
-    # strided transpose out of every traced pallas3 call (None -> the tracer
+    # Pallas-kernel DMA layout of the intersection tables (_sweep_table):
+    # (8, C*5*chunk_size) with chunk-major [so | sd | edge0 | edge1 | edge2]
+    # column groups in a 5-rows-per-triangle edge-numerator form (see
+    # _sweep_table for the derivation — 8 plane rows per triangle collapse
+    # to 5 matmul output rows, the sweep kernel's dominant VMEM stream).
+    # Scene-constant: precomputing it here keeps a ~160 MB strided
+    # transpose out of every traced pallas3 call (None -> the tracer
     # derives it on the fly, e.g. for hand-built SceneArrays).
-    planes_o_t: Optional[np.ndarray] = None   # (4, 4T)
-    planes_d_t: Optional[np.ndarray] = None   # (4, 4T)
+    sweep_table_t: Optional[np.ndarray] = None   # (8, 5T)
     # Packed per-triangle fetch table for the pallas3 in-kernel hit fetch,
     # (16, T): rows 0-8 = v0,e1,e2; 9-11 = unit normal; 12 = obj_id as f32
     # (-1 for padding triangles); 13-15 zero. The sweep kernel contracts it
@@ -91,22 +93,54 @@ def _triangle_planes(verts: np.ndarray):
     return n_unit.astype(np.float32), planes_o, planes_d
 
 
-def _kernel_plane_layout(planes_o: np.ndarray, planes_d: np.ndarray,
-                         chunk_size: int):
-    """Transpose the interleaved (4T, 4)/(4T, 3) plane tables into the
-    pallas3 kernel's HBM DMA layout: (4, C*4*Tc) with chunk-major
-    [support rows | edge0 | edge1 | edge2] groups, so one chunk's slab is a
-    contiguous 128-aligned block whose trailing (lane) dimension carries the
-    triangle axis (trace/pallas_trace.py)."""
+def _sweep_table(planes_o, chunk_size: int, xp=np):
+    """Pallas sweep-kernel intersection table: (8, C*5*Tc), chunk-major
+    column groups [so | sd | edge0 | edge1 | edge2] (trace/pallas_trace.py).
+
+    The kernel contracts each chunk slab against two per-ray feature
+    vectors, F_A = [o, 1, d, 0] and F_B = [d, o x d, 0, 0]. With a
+    triangle's support plane (n, c) and unit edge planes (m_k, c_k) from
+    `planes_o`, the columns encode
+
+        so  = n.o + c                      column [n, c, 0, 0, 0, 0]
+        sd  = n.d                          column [0, 0, 0, 0, n, 0]
+        N_k = B_k.d + A_k.(o x d)          column [B_k, A_k, 0, 0]
+              with A_k = m_k x n,  B_k = c_k n - c m_k
+
+    N_k is the edge evaluation e_k(t) = (m_k.o + c_k) + t (m_k.d) at
+    t = -so/sd, SCALED by sd (a Pluecker-style bilinear identity), so the
+    oracle's inside test e_k >= -eps becomes the division-free, sign-safe
+        N_k * sd + eps * sd^2 >= 0.
+    This collapses the 8 matmul output rows per triangle (so+sd for 4
+    planes) to 5 — the sweep kernel's dominant VMEM stream. The decision
+    boundary matches the plane-form engines up to f32 rounding inside the
+    +-eps edge band (the same order of daylight the plane engines already
+    have against the brute oracle's eps-free Moller-Trumbore test).
+
+    Generic over numpy/jnp (`xp`): the host scene build and the tracer's
+    fallback for hand-built SceneArrays share this one implementation.
+    """
     tc = chunk_size
-    C = planes_o.shape[0] // (4 * tc)
-    po = np.ascontiguousarray(
-        planes_o.reshape(C, tc, 4, 4).transpose(0, 2, 1, 3).reshape(-1, 4).T)
-    pd_rows = planes_d.reshape(C, tc, 4, 3).transpose(0, 2, 1, 3)
-    pd = np.concatenate(
-        [pd_rows, np.zeros((C, 4, tc, 1), np.float32)], axis=-1
-    ).reshape(-1, 4).T
-    return po.astype(np.float32), np.ascontiguousarray(pd, np.float32)
+    T = planes_o.shape[0] // 4
+    C = T // tc
+    po = planes_o.reshape(T, 4, 4)
+    n = po[:, 0, :3]                      # support normal
+    c_t = po[:, 0, 3:4]
+    m = po[:, 1:4, :3]                    # (T, 3, 3) edge-plane normals
+    ck = po[:, 1:4, 3]                    # (T, 3) edge-plane offsets
+    A = xp.cross(m, n[:, None, :])                          # (T, 3, 3)
+    B = ck[..., None] * n[:, None, :] - c_t[..., None] * m  # (T, 3, 3)
+    z1 = xp.zeros((T, 1), xp.float32)
+    z4 = xp.zeros((T, 4), xp.float32)
+    so_col = xp.concatenate([n, c_t, z4], axis=-1)          # (T, 8)
+    sd_col = xp.concatenate([z4, n, z1], axis=-1)           # (T, 8)
+    e_cols = xp.concatenate(
+        [B, A, xp.zeros((T, 3, 2), xp.float32)], axis=-1)   # (T, 3, 8)
+    cols = xp.concatenate(
+        [so_col[:, None], sd_col[:, None], e_cols], axis=1)  # (T, 5, 8)
+    tbl = cols.reshape(C, tc, 5, 8).transpose(0, 2, 1, 3).reshape(-1, 8).T
+    return (np.ascontiguousarray(tbl, np.float32) if xp is np
+            else tbl.astype(xp.float32))
 
 
 def _median_split_order(centers: np.ndarray, chunk_size: int) -> np.ndarray:
@@ -142,21 +176,21 @@ def _median_split_order(centers: np.ndarray, chunk_size: int) -> np.ndarray:
     return out
 
 
-def _tri_fetch_table(verts: np.ndarray, normals: np.ndarray,
-                     obj_ids: np.ndarray) -> np.ndarray:
+def _tri_fetch_table(verts, normals, obj_ids, xp=np):
     """(16, T) packed triangle data for the in-kernel winner fetch
-    (see SceneArrays.tri_table_t). obj ids are stored as exact f32
-    (< 2^24); INVALID/padding triangles store -1."""
-    T = verts.shape[0]
-    out = np.zeros((16, T), np.float32)
+    (see SceneArrays.tri_table_t). obj ids are stored as exact f32;
+    INVALID/padding triangles store -1. Real obj ids >= 2^24 (not exactly
+    representable in f32) are rejected at scene build (Scene.__post_init__)
+    rather than silently degraded here. Generic over numpy/jnp (`xp`)."""
     v0 = verts[:, 0]
-    out[0:3] = v0.T
-    out[3:6] = (verts[:, 1] - v0).T
-    out[6:9] = (verts[:, 2] - v0).T
-    out[9:12] = normals.T
-    obj = obj_ids.astype(np.int64)
-    out[12] = np.where((obj >= 0) & (obj < 2**24), obj, -1).astype(np.float32)
-    return out
+    obj = xp.where((obj_ids >= 0) & (obj_ids < 2**24), obj_ids, -1)
+    out = xp.concatenate([
+        v0.T, (verts[:, 1] - v0).T, (verts[:, 2] - v0).T, normals.T,
+        obj.astype(xp.float32)[None],
+        xp.zeros((3, verts.shape[0]), xp.float32),
+    ], axis=0)
+    return (np.ascontiguousarray(out, np.float32) if xp is np
+            else out.astype(xp.float32))
 
 
 @dataclasses.dataclass
@@ -180,6 +214,13 @@ class Scene:
             raise ValueError(f"verts must be (T,3,3), got {self.verts.shape}")
         if self.obj_ids.shape != (self.verts.shape[0],):
             raise ValueError("obj_ids must be (T,)")
+        # the pallas3 winner-fetch table carries obj ids as exact f32, a
+        # packing artifact capped at 2^24 — fail loudly instead of letting
+        # _tri_fetch_table silently map larger ids to INVALID
+        if self.obj_ids.size and int(self.obj_ids.max()) >= 2**24:
+            raise ValueError(
+                f"object ids must be < 2**24 (got {int(self.obj_ids.max())}):"
+                " the trace engines pack them as exact float32")
 
     @property
     def n_triangles(self) -> int:
@@ -249,7 +290,7 @@ class Scene:
             lo = chunks.min(axis=(1, 2))
             hi = chunks.max(axis=(1, 2))
 
-        po_t, pd_t = _kernel_plane_layout(planes_o, planes_d, self.chunk_size)
+        sweep_t = _sweep_table(planes_o, self.chunk_size)
         tri_t = _tri_fetch_table(verts, normals, obj_ids)
         return SceneArrays(
             verts=verts,
@@ -260,8 +301,7 @@ class Scene:
             chunk_aabb_lo=lo.astype(np.float32),
             chunk_aabb_hi=hi.astype(np.float32),
             chunk_size=self.chunk_size,
-            planes_o_t=po_t,
-            planes_d_t=pd_t,
+            sweep_table_t=sweep_t,
             tri_table_t=tri_t,
         )
 
@@ -279,3 +319,4 @@ class Scene:
 # Sentinel for "no hit" object ids; the reference flags invalid hits with
 # obj_id > 10000 (radar_algorithms.cpp:29, RadarCPU.cpp:252).
 INVALID_OBJ_ID = np.int32(2**31 - 1)
+

@@ -6,8 +6,12 @@ the same plane-equation intersection math as the XLA "mxu"/"culled" engines
 (geom/scene.py:_triangle_planes). The kernel is the TPU-shaped analog of a
 BVH traversal:
 
-  * Rays ride the LANE axis: the kernel computes SO = PO_chunk @ o_aug^T and
-    SD = PD_chunk @ d_aug^T as (4*Tc, 4) x (4, RB) MXU matmuls, so every
+  * Rays ride the LANE axis: the kernel contracts each chunk's packed
+    intersection table (geom/scene.py:_sweep_table) against two per-ray
+    feature vectors as (8, 5*Tc)^T x (8, RB) MXU matmuls — 5 output rows
+    per triangle ([so; sd] for the support plane + 3 edge numerators in a
+    division-free Pluecker form) instead of the naive 8 ([so; sd] for all
+    4 planes), cutting the dominant VMEM output stream 1.6x. Every
     reduction (nearest-hit min/argmin) is a sublane reduction onto the
     (1, RB) accumulator — no transposes anywhere.
   * Per ray block, the median-split leaf chunks are ranked front-to-back by slab-entry
@@ -48,11 +52,11 @@ _INSIDE_EPS = 1e-5  # meters (edge planes are unit-normalized); planes.py:33
 _BIG_IDX = 2**30  # python literal: jnp constants would be captured by the kernel
 
 
-def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, o_ref, d_ref,
-                     tlast_ref, po_hbm, pd_hbm, tri_hbm, best_t_ref,
+def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, fa_ref, fb_ref,
+                     tlast_ref, tbl_hbm, tri_hbm, best_t_ref,
                      tri_ref,
                      order_ref, entry_ref, idx_sem,
-                     po_buf, pd_buf, po_sem, pd_sem, tri_buf, tri_sem,
+                     tbl_buf, tbl_sem, tri_buf, tri_sem,
                      best_idx_ref, *,
                      tc: int, group: int, t_min: float, t_max: float):
     """v3: ordered chunk sweep with early termination and HBM->VMEM DMA.
@@ -70,8 +74,16 @@ def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, o_ref, d_ref,
     block_entry(c') <= t_near[r, c'] <= t_last[r] < e_next, contradicting
     the non-decreasing ranked order); if e_next > best_t[r], no remaining
     chunk can improve r. Hence the per-lane veto bound is
-    min(best_t, t_last). Plane slabs stream from HBM through
+    min(best_t, t_last). Intersection slabs stream from HBM through
     double-buffered async copies, so scene size is bounded by HBM, not VMEM.
+
+    Per visit, the intersection test is the 5-row edge-numerator form
+    (geom/scene.py:_sweep_table): two skinny matmuls produce (2*Tc, RB)
+    [so; sd] against F_A = [o, 1, d, 0] and (3*Tc, RB) edge numerators
+    N_k against F_B = [d, o x d, 0, 0]; the inside test is the
+    division-free N_k * sd + eps * sd^2 >= 0. Round 2 measured the sweep
+    bound by matmul outputs streaming through VMEM, not FLOPs — 5 output
+    rows per triangle instead of 8 cuts that stream 1.6x.
     """
     i = pl.program_id(0)
 
@@ -80,8 +92,8 @@ def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, o_ref, d_ref,
     tri_ref[:] = jnp.zeros(tri_ref.shape, jnp.float32)
 
     n = nvisit_ref[i, 0]
-    o = o_ref[0]
-    d = d_ref[0]
+    fa = fa_ref[0]        # (8, RB)  [o, 1, d, 0]
+    fb = fb_ref[0]        # (8, RB)  [d, o x d, 0, 0]
 
     # the ranked chunk list and its entry distances are too large for SMEM
     # across all ray blocks at big scenes; stream this block's rows in.
@@ -96,30 +108,24 @@ def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, o_ref, d_ref,
     cp_e.wait()
 
     def dma(k, slot):
-        # planes live transposed in HBM as (4, C*4*Tc) so the DMA's trailing
-        # dimension (the slab, a multiple of 128) satisfies lane tiling.
-        # One visit covers a SUPERGROUP of `group` consecutive leaf chunks
-        # (one contiguous slab): culling/ranking granularity is group*tc
-        # triangles (cheap prep at scale), compute granularity stays tc
-        # (the inner static loop below keeps the matmul intermediates small)
+        # the table lives transposed in HBM as (8, C*5*Tc) so the DMA's
+        # trailing dimension (the slab, a multiple of 128) satisfies lane
+        # tiling. One visit covers a SUPERGROUP of `group` consecutive leaf
+        # chunks (one contiguous slab): culling/ranking granularity is
+        # group*tc triangles (cheap prep at scale), compute granularity
+        # stays tc (the inner static loop below keeps the matmul
+        # intermediates small)
         c = order_ref[k // W, k % W]
-        return (
-            pltpu.make_async_copy(
-                po_hbm.at[:, pl.ds(c * group * 4 * tc, group * 4 * tc)],
-                po_buf.at[slot], po_sem.at[slot]),
-            pltpu.make_async_copy(
-                pd_hbm.at[:, pl.ds(c * group * 4 * tc, group * 4 * tc)],
-                pd_buf.at[slot], pd_sem.at[slot]),
-        )
+        return pltpu.make_async_copy(
+            tbl_hbm.at[:, pl.ds(c * group * 5 * tc, group * 5 * tc)],
+            tbl_buf.at[slot], tbl_sem.at[slot])
 
     @pl.when(n > 0)
     def _sweep():
-        a, b = dma(0, 0)
-        a.start()
-        b.start()
+        dma(0, 0).start()
 
         # loop-invariant: triangle row index within a chunk (argmin helper)
-        rows = jax.lax.broadcasted_iota(jnp.int32, (tc, o.shape[1]), 0)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (tc, fa.shape[1]), 0)
 
         def cond(carry):
             k, done = carry
@@ -131,34 +137,34 @@ def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, o_ref, d_ref,
 
             @pl.when(k + 1 < n)
             def _prefetch():
-                a, b = dma(k + 1, 1 - slot)
-                a.start()
-                b.start()
+                dma(k + 1, 1 - slot).start()
 
-            a, b = dma(k, slot)
-            a.wait()
-            b.wait()
+            dma(k, slot).wait()
 
             c = order_ref[k // W, k % W]
             for g in range(group):
-                # contract the coordinate axis (dim 0 of both operands): no
-                # transpose needed for the (4, 4*Tc) buffer layout
+                # contract the feature axis (dim 0 of both operands): no
+                # transpose needed for the (8, 5*Tc) buffer layout
                 dn = (((0,), (0,)), ((), ()))
-                po_g = po_buf[slot, :, g * 4 * tc:(g + 1) * 4 * tc]
-                pd_g = pd_buf[slot, :, g * 4 * tc:(g + 1) * 4 * tc]
-                so = jax.lax.dot_general(po_g, o, dn,
-                                         preferred_element_type=jnp.float32)
-                sd = jax.lax.dot_general(pd_g, d, dn,
-                                         preferred_element_type=jnp.float32)
-                so_s, sd_s = so[0:tc], sd[0:tc]
+                base = g * 5 * tc
+                s_ab = jax.lax.dot_general(
+                    tbl_buf[slot, :, base:base + 2 * tc], fa, dn,
+                    preferred_element_type=jnp.float32)   # (2Tc, RB)
+                s_n = jax.lax.dot_general(
+                    tbl_buf[slot, :, base + 2 * tc:base + 5 * tc], fb, dn,
+                    preferred_element_type=jnp.float32)   # (3Tc, RB)
+                so_s, sd_s = s_ab[0:tc], s_ab[tc:2 * tc]
                 # IEEE semantics replace the denominator guard: sd == 0
                 # gives t = +-inf (rejected by the range test) or NaN
                 # (so == 0 too; every comparison rejects NaN)
                 t = -so_s / sd_s
+                # inside test in edge-numerator form: N_k * sd + eps * sd^2
+                # >= 0  <=>  e_k >= -eps (see geom/scene.py:_sweep_table)
+                meps = _INSIDE_EPS * (sd_s * sd_s)
                 inside = (
-                    (so[tc:2 * tc] + t * sd[tc:2 * tc] >= -_INSIDE_EPS)
-                    & (so[2 * tc:3 * tc] + t * sd[2 * tc:3 * tc] >= -_INSIDE_EPS)
-                    & (so[3 * tc:4 * tc] + t * sd[3 * tc:4 * tc] >= -_INSIDE_EPS)
+                    (s_n[0:tc] * sd_s + meps >= 0.0)
+                    & (s_n[tc:2 * tc] * sd_s + meps >= 0.0)
+                    & (s_n[2 * tc:3 * tc] * sd_s + meps >= 0.0)
                 )
                 hit = inside & (t >= t_min) & (t <= t_max)
                 t_masked = jnp.where(hit, t, jnp.inf)             # (Tc, RB)
@@ -193,9 +199,7 @@ def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, o_ref, d_ref,
         # flight; every started DMA must be awaited before the kernel ends
         @pl.when(k_final < n)
         def _drain():
-            a, b = dma(k_final, jax.lax.rem(k_final, 2))
-            a.wait()
-            b.wait()
+            dma(k_final, jax.lax.rem(k_final, 2)).wait()
 
         # ---- winner fetch: pull each lane's winning-triangle data out of
         # the packed table with one one-hot MXU contraction per VISITED
@@ -214,7 +218,7 @@ def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, o_ref, d_ref,
         def _fetch():
             tri_dma(0, 0).start()
             rows_f = jax.lax.broadcasted_iota(
-                jnp.int32, (tc, o.shape[1]), 0)
+                jnp.int32, (tc, fa.shape[1]), 0)
 
             def fbody(k, _):
                 slot = jax.lax.rem(k, 2)
@@ -513,17 +517,17 @@ def _v3_callable(chunk_size: int, ray_block: int, group: int, t_min: float,
     (the HBM-resident plane/order tables) cannot be batched by vmap."""
 
     @jax.custom_batching.custom_vmap
-    def impl(po_t, pd_t, tri_t, chunk_lo, chunk_hi, origs, dirs, budget):
+    def impl(tbl_t, tri_t, chunk_lo, chunk_hi, origs, dirs, budget):
         return _trace_pallas_v3_impl(
-            po_t, pd_t, tri_t, chunk_lo, chunk_hi, origs, dirs, budget,
+            tbl_t, tri_t, chunk_lo, chunk_hi, origs, dirs, budget,
             chunk_size=chunk_size, ray_block=ray_block, group=group,
             t_min=t_min, t_max=t_max, interpret=interpret)
 
     @impl.def_vmap
-    def _vmap_rule(axis_size, in_batched, po_t, pd_t, tri_t, chunk_lo,
+    def _vmap_rule(axis_size, in_batched, tbl_t, tri_t, chunk_lo,
                    chunk_hi, origs, dirs, budget):
-        po_b, pd_b, tri_b, lo_b, hi_b, o_b, d_b, b_b = in_batched
-        if po_b or pd_b or tri_b or lo_b or hi_b:
+        tbl_b, tri_b, lo_b, hi_b, o_b, d_b, b_b = in_batched
+        if tbl_b or tri_b or lo_b or hi_b:
             raise NotImplementedError(
                 "pallas3 cannot batch over scenes; batch rays/poses only")
         o = origs if o_b else jnp.broadcast_to(
@@ -541,7 +545,7 @@ def _v3_callable(chunk_size: int, ray_block: int, group: int, t_min: float,
         # the front-to-back rank order serves every lane at once, so the
         # sweep terminates earlier. Exact: lanes are independent; this is a
         # permutation, inverted on the outputs.
-        t, tri = impl(po_t, pd_t, tri_t, chunk_lo, chunk_hi,
+        t, tri = impl(tbl_t, tri_t, chunk_lo, chunk_hi,
                       o.transpose(1, 0, 2).reshape(-1, 3),
                       d.transpose(1, 0, 2).reshape(-1, 3),
                       b.transpose(1, 0).reshape(-1))
@@ -557,17 +561,17 @@ def _v3_callable(chunk_size: int, ray_block: int, group: int, t_min: float,
     static_argnames=("chunk_size", "ray_block", "group", "t_min", "t_max",
                      "interpret"),
 )
-def _trace_pallas_v3_impl(po, pd, tri_t, chunk_lo, chunk_hi, origs, dirs,
+def _trace_pallas_v3_impl(tbl, tri_t, chunk_lo, chunk_hi, origs, dirs,
                           budget, *, chunk_size: int, ray_block: int,
                           group: int, t_min: float, t_max: float,
                           interpret: bool):
-    """po/pd: plane tables in the kernel DMA layout (4, C*4*Tc); tri_t: the
-    (16, C*Tc) packed winner-fetch table — all scene-constant, precomputed
-    by Scene.device_arrays (geom/scene.py) or derived once in
-    trace_pallas_v3. chunk_lo/hi are already padded to a multiple of
-    `group` there."""
+    """tbl: intersection table in the kernel DMA layout (8, C*5*Tc)
+    (geom/scene.py:_sweep_table); tri_t: the (16, C*Tc) packed winner-fetch
+    table — all scene-constant, precomputed by Scene.device_arrays
+    (geom/scene.py) or derived once in trace_pallas_v3. chunk_lo/hi are
+    already padded to a multiple of `group` there."""
     tc = chunk_size
-    C = po.shape[1] // (4 * tc)
+    C = tbl.shape[1] // (5 * tc)
     R = origs.shape[0]
     RB = ray_block
     pad = (-R) % RB
@@ -584,10 +588,14 @@ def _trace_pallas_v3_impl(po, pd, tri_t, chunk_lo, chunk_hi, origs, dirs,
 
     ones = jnp.ones((o.shape[0], 1), jnp.float32)
     zeros = jnp.zeros((o.shape[0], 1), jnp.float32)
-    o_aug = jnp.concatenate([o, ones], axis=-1).reshape(n_blocks, RB, 4)
-    o_aug = o_aug.transpose(0, 2, 1)
-    d_aug = jnp.concatenate([d, zeros], axis=-1).reshape(n_blocks, RB, 4)
-    d_aug = d_aug.transpose(0, 2, 1)
+    # per-ray feature vectors for the kernel's two skinny matmuls
+    # (geom/scene.py:_sweep_table): F_A = [o, 1, d, 0], F_B = [d, o x d,
+    # 0, 0] (o x d are the ray line's Pluecker moment coordinates)
+    w = jnp.cross(o, d)
+    fa = jnp.concatenate([o, ones, d, zeros], axis=-1)       # (R', 8)
+    fb = jnp.concatenate([d, w, zeros, zeros], axis=-1)      # (R', 8)
+    fa = fa.reshape(n_blocks, RB, 8).transpose(0, 2, 1)
+    fb = fb.reshape(n_blocks, RB, 8).transpose(0, 2, 1)
 
     # per-block front-to-back SUPERGROUP ranking + entries, via the fused
     # Pallas prep kernel (_prep_kernel): the pure-XLA formulation of this
@@ -611,7 +619,7 @@ def _trace_pallas_v3_impl(po, pd, tri_t, chunk_lo, chunk_hi, origs, dirs,
     entry, t_last = _run_prep_kernel(
         jnp.concatenate([sg_lo, far], axis=0),
         jnp.concatenate([sg_hi, far + 1.0], axis=0),
-        o_aug[:, :3, :], inv_d_t, bud_b,
+        fa[:, :3, :], inv_d_t, bud_b,
         Cp=Cp2, RB=RB, n_blocks=n_blocks, t_max=t_max, interpret=interpret)
     entry = entry[:, :C2]                                      # (B, C2)
     # one fused key-value sort; argsort + take_along_axis costs ~8 ms more
@@ -642,14 +650,13 @@ def _trace_pallas_v3_impl(po, pd, tri_t, chunk_lo, chunk_hi, origs, dirs,
             pl.BlockSpec(memory_space=pltpu.SMEM),   # nvisit (B, 1)
             pl.BlockSpec(memory_space=pltpu.HBM),    # order (B, Cp)
             pl.BlockSpec(memory_space=pltpu.HBM),    # ranked entries (B, Cp)
-            pl.BlockSpec((1, 4, RB), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, RB), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, RB), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),   # F_A
+            pl.BlockSpec((1, 8, RB), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),   # F_B
             pl.BlockSpec((1, 1, RB), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),   # t_last
-            pl.BlockSpec(memory_space=pltpu.HBM),    # po
-            pl.BlockSpec(memory_space=pltpu.HBM),    # pd
+            pl.BlockSpec(memory_space=pltpu.HBM),    # intersection table
             pl.BlockSpec(memory_space=pltpu.HBM),    # tri fetch table
         ],
         out_specs=[
@@ -666,9 +673,7 @@ def _trace_pallas_v3_impl(po, pd, tri_t, chunk_lo, chunk_hi, origs, dirs,
             pltpu.SMEM((8, Cp // 8), jnp.int32),       # this block's order
             pltpu.SMEM((8, Cp // 8), jnp.float32),     # this block's entries
             pltpu.SemaphoreType.DMA((2,)),             # order/entry DMA
-            pltpu.VMEM((2, 4, group * 4 * tc), jnp.float32),  # po dbl buf
-            pltpu.VMEM((2, 4, group * 4 * tc), jnp.float32),  # pd dbl buf
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, 8, group * 5 * tc), jnp.float32),  # tbl dbl buf
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((2, 16, group * tc), jnp.float32),     # tri dbl buf
             pltpu.SemaphoreType.DMA((2,)),
@@ -677,7 +682,7 @@ def _trace_pallas_v3_impl(po, pd, tri_t, chunk_lo, chunk_hi, origs, dirs,
             pltpu.VMEM((1, 1, RB), jnp.int32),
         ],
         interpret=interpret,
-    )(nvisit, order, entry_pad, o_aug, d_aug, t_last, po, pd, tri_t)
+    )(nvisit, order, entry_pad, fa, fb, t_last, tbl, tri_t)
 
     tri = tri_rows.transpose(0, 2, 1).reshape(-1, 16)[:R]
     return best_t.reshape(-1)[:R], tri
@@ -725,7 +730,11 @@ def trace_pallas_v3(scene, origs, dirs, t_min: float = 0.0,
     on intra-block coherence, so fully INCOHERENT ray sets (random
     origins/directions) run ~50x faster with it (benchmarks/engines.py
     --saturated). Radar fans are already coherent: leave it off there
-    (the two multi-operand sorts cost more than they save).
+    (the two multi-operand sorts cost more than they save). Caveat: the
+    sort changes each block's chunk visit order, so while hit distances
+    stay exact, the reported obj_id on EXACT-distance ties (coplanar
+    overlapping surfaces) is visit-order dependent and may differ from the
+    unsorted trace (tests tolerate tie-only divergence).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -747,55 +756,35 @@ def trace_pallas_v3(scene, origs, dirs, t_min: float = 0.0,
     chunk_hi = jnp.asarray(scene.chunk_aabb_hi)
     C = chunk_lo.shape[0]
     pad_c = (-C) % group
-    po_t = getattr(scene, "planes_o_t", None)
-    if po_t is not None and pad_c == 0:
+    tbl_t = getattr(scene, "sweep_table_t", None)
+    if tbl_t is not None and pad_c == 0:
         # scene-constant kernel layout, precomputed on host (the on-the-fly
-        # relayout of the ~2x64 MB tables dominated large-scene trace time)
-        po_t = jnp.asarray(po_t)
-        pd_t = jnp.asarray(scene.planes_d_t)
+        # relayout of the ~160 MB table dominated large-scene trace time)
+        tbl_t = jnp.asarray(tbl_t)
     else:
         # fallback for hand-built SceneArrays or non-dividing prep_group:
-        # jnp re-statement of geom/scene.py:_kernel_plane_layout plus the
-        # group padding — keep in sync (parity covered by
+        # the SAME builder the host precompute uses (geom/scene.py), run in
+        # jnp (parity covered by
         # tests/test_trace.py::test_pallas_v3_nondividing_group_...)
+        from radarays_ros_tpu.geom.scene import _sweep_table
+
         planes_o = jnp.asarray(scene.planes_o)
-        planes_d = jnp.asarray(scene.planes_d)
         if pad_c:
             # pad the chunk axis to a multiple of the supergroup size with
             # never-hit chunks (zero planes -> |denominator| = 0)
             planes_o = jnp.concatenate(
                 [planes_o, jnp.zeros((pad_c * 4 * chunk_size, 4),
                                      jnp.float32)], axis=0)
-            planes_d = jnp.concatenate(
-                [planes_d, jnp.zeros((pad_c * 4 * chunk_size, 3),
-                                     jnp.float32)], axis=0)
-        Cp = C + pad_c
-        po_t = planes_o.reshape(Cp, chunk_size, 4, 4).transpose(
-            0, 2, 1, 3).reshape(Cp * 4 * chunk_size, 4).T
-        pd_rows = planes_d.reshape(Cp, chunk_size, 4, 3).transpose(0, 2, 1, 3)
-        pd_t = jnp.concatenate(
-            [pd_rows, jnp.zeros((Cp, 4, chunk_size, 1), jnp.float32)],
-            axis=-1).reshape(Cp * 4 * chunk_size, 4).T
+        tbl_t = _sweep_table(planes_o, chunk_size, xp=jnp)
     tri_t = getattr(scene, "tri_table_t", None)
     if tri_t is not None and pad_c == 0:
         tri_t = jnp.asarray(tri_t)
     else:
         from radarays_ros_tpu.geom.scene import _tri_fetch_table
 
-        if isinstance(scene.verts, jnp.ndarray):
-            v = jnp.asarray(scene.verts)
-            v0 = v[:, 0]
-            tri_t = jnp.concatenate([
-                v0.T, (v[:, 1] - v0).T, (v[:, 2] - v0).T,
-                jnp.asarray(scene.normals).T,
-                jnp.where((scene.obj_ids >= 0) & (scene.obj_ids < 2**24),
-                          scene.obj_ids, -1).astype(jnp.float32)[None],
-                jnp.zeros((3, v.shape[0]), jnp.float32),
-            ], axis=0)
-        else:
-            tri_t = jnp.asarray(_tri_fetch_table(
-                np.asarray(scene.verts), np.asarray(scene.normals),
-                np.asarray(scene.obj_ids)))
+        xp = np if isinstance(scene.verts, np.ndarray) else jnp
+        tri_t = jnp.asarray(_tri_fetch_table(
+            scene.verts, scene.normals, scene.obj_ids, xp=xp))
         if pad_c:
             tri_t = jnp.concatenate(
                 [tri_t, jnp.zeros((16, pad_c * chunk_size), jnp.float32)],
@@ -832,7 +821,7 @@ def trace_pallas_v3(scene, origs, dirs, t_min: float = 0.0,
         o_s = jnp.stack([ox, oy, oz], axis=-1)
         d_s = jnp.stack([dx, dy, dz], axis=-1)
         best_t, tri = impl(
-            sg(po_t), sg(pd_t), sg(tri_t), sg(chunk_lo), sg(chunk_hi),
+            sg(tbl_t), sg(tri_t), sg(chunk_lo), sg(chunk_hi),
             o_s, d_s, bud_s,
         )
         unsorted = jax.lax.sort(
@@ -842,7 +831,7 @@ def trace_pallas_v3(scene, origs, dirs, t_min: float = 0.0,
         tri = jnp.stack(unsorted[2:], axis=-1)
     else:
         best_t, tri = impl(
-            sg(po_t), sg(pd_t), sg(tri_t), sg(chunk_lo), sg(chunk_hi),
+            sg(tbl_t), sg(tri_t), sg(chunk_lo), sg(chunk_hi),
             sg(origs), sg(dirs), sg(budget),
         )
     return _finalize_packed(origs, dirs, sg(best_t), sg(tri),
