@@ -62,6 +62,9 @@ class Radar:
         key = jax.random.PRNGKey(seed)
         self._cone_key, self._noise_key = jax.random.split(key)
         self._last_pose = identity_pose()
+        # last two (stamp, pose) pairs for the pose-extrapolation fallback
+        # (Radar.cpp:102-121 caches Tsm_last + stamps; see simulate())
+        self._pose_history: list[tuple[float, np.ndarray]] = []
 
     # ------------------------------------------------------------ config
 
@@ -111,15 +114,46 @@ class Radar:
 
     # ------------------------------------------------------------ simulate
 
-    def simulate(self, pose=None, *, reseed: bool = True) -> FrameResult:
+    def extrapolate_pose(self, stamp: Optional[float]) -> np.ndarray:
+        """Pose-failure fallback (Radar.cpp:102-121, where the last cached
+        Tsm is reused and its stamp advanced by the elapsed wall time).
+
+        With the last TWO stamped poses cached, this goes one step further
+        than the reference's verbatim reuse: the translation is linearly
+        extrapolated and the rotation slerp-extrapolated along the geodesic
+        to the requested stamp. With fewer than two stamped poses (or no
+        stamp), it degrades to the reference's behavior: last pose verbatim.
+        """
+        if stamp is not None and len(self._pose_history) == 2:
+            (s0, p0), (s1, p1) = self._pose_history
+            if s1 > s0:
+                from radarays_ros_tpu.io.trajectory import _slerp
+
+                a = (float(stamp) - s0) / (s1 - s0)
+                t = p0[0:3] + (p1[0:3] - p0[0:3]) * np.float32(a)
+                q = _slerp(p0[3:7].astype(np.float64),
+                           p1[3:7].astype(np.float64), a)
+                return np.concatenate([t, q.astype(np.float32)])
+        return self._last_pose
+
+    def simulate(self, pose=None, *, stamp: Optional[float] = None,
+                 reseed: bool = True) -> FrameResult:
         """Simulate one frame at the given sensor pose.
 
         pose: (7,) [t, q_xyzw] map<-sensor pose, or (n_angles, 7) per-azimuth
-        poses, or None to reuse the last pose (TF-failure fallback,
-        Radar.cpp:102-121).
+        poses, or None for the pose-failure fallback: extrapolate from the
+        last two stamped poses when `stamp` is given (see
+        `extrapolate_pose`), else reuse the last pose (Radar.cpp:102-121).
+        stamp: frame timestamp in seconds; with a (7,) pose it is recorded
+        for later extrapolation.
         """
         if pose is None:
-            pose = self._last_pose
+            pose = self.extrapolate_pose(stamp)
+        elif stamp is not None:
+            p = np.asarray(pose, np.float32)
+            if p.ndim == 1:
+                self._pose_history.append((float(stamp), p.copy()))
+                del self._pose_history[:-2]
         self._last_pose = np.asarray(pose, np.float32)
         if reseed:
             self._noise_key, sub = jax.random.split(self._noise_key)

@@ -169,9 +169,10 @@ def trace_planes(scene, origs, dirs, t_min: float = 0.0, t_max: float = 1000.0,
             best_idx = jnp.where(better, base + local, best_idx)
             return (best_t, best_idx), None
 
-        # carry init derived from both ray operands so the scan type-checks
-        # inside shard_map (origins/dirs may vary over different mesh axes)
-        zeros = (ob[:, 0] + db[:, 0]) * 0.0
+        # carry init derived from both ray operands AND the scene tables so
+        # the scan type-checks inside shard_map (origins/dirs may vary over
+        # different mesh axes; the scene may be sharded over a chunk axis)
+        zeros = (ob[:, 0] + db[:, 0]) * 0.0 + po[0, 0, 0] * 0.0
         init = (zeros + jnp.inf, zeros.astype(jnp.int32))
         bases = jnp.arange(n_tchunks, dtype=jnp.int32) * tri_chunk
         (best_t, best_idx), _ = jax.lax.scan(tchunk_body, init, (po, pd, bases))
@@ -233,6 +234,17 @@ def trace_planes_culled(scene, origs, dirs, t_min: float = 0.0,
     # traced (non-concrete) when this runs under jit
     cs = scene.verts.shape[0] // C
     K = min(k_chunks or C, C)
+    if k_chunks is not None and K < C:
+        import warnings
+
+        warnings.warn(
+            f"trace_planes_culled: k_chunks={K} caps the chunk sweep below "
+            f"the scene's {C} chunks — the trace is NO LONGER GUARANTEED "
+            "EXACT (a hit is missed whenever more than k_chunks chunks "
+            "rank closer than it). This opts out of the engines-match-brute "
+            "contract; use k_chunks=None unless bounding worst-case sweep "
+            "latency is worth approximate results.",
+            stacklevel=2)
 
     # tangents stop at the sweep (lax.while_loop has no reverse-mode rule;
     # the winner is discrete anyway) and flow through _finalize's
@@ -292,11 +304,13 @@ def trace_planes_culled(scene, origs, dirs, t_min: float = 0.0,
                                  best_idx)
             return i + 1, best_t, best_idx
 
-        # derive the carry init from BOTH ray operands: fresh constants (or
-        # origin-only derivation) would fail the while_loop's varying-axes
-        # type check when this runs inside shard_map with origins and
-        # directions varying over different mesh axes
-        zeros = (ob[:, 0] + db[:, 0]) * 0.0
+        # derive the carry init from BOTH ray operands AND the scene
+        # tables: fresh constants (or origin-only derivation) would fail
+        # the while_loop's varying-axes type check when this runs inside
+        # shard_map with origins/directions varying over different mesh
+        # axes, or with the SCENE sharded over a chunk axis
+        # (parallel/sharding.py:simulate_frame_scene_sharded)
+        zeros = (ob[:, 0] + db[:, 0]) * 0.0 + po[0, 0, 0] * 0.0
         init = (jnp.int32(0), zeros + jnp.inf, zeros.astype(jnp.int32))
         _, best_t, best_idx = jax.lax.while_loop(cond, body, init)
         return best_t, best_idx

@@ -22,10 +22,13 @@ Scope notes (documented contract of the TPU pipeline being validated):
     explicitly out of bin-for-bin scope (the reference draws from a
     nondeterministic std::random_device, RadarCPU.cpp:460-463); the
     distributions are tested separately (tests/test_wave_physics.py).
-  * signals whose center cell falls outside [0, n_cells) are dropped before
-    the denoise splat (the pipeline point-bins then convolves); the
-    reference would splat partial tails of out-of-range centers
-    (RadarCPU.cpp:419-432) — an edge-cell deviation noted in PARITY.md.
+  * signals whose center cell falls outside [0, n_cells) are dropped
+    entirely, INCLUDING any kernel taps that would land in range — this
+    matches the reference exactly: every reference draw path gates the
+    whole splat on the CENTER cell (`if (cell < slice.rows)`,
+    RadarCPU.cpp:414; RadarGPU.cpp:630; radar_algorithms.cu:771) before
+    the per-tap clip of RadarCPU.cpp:419-432. Pinned by
+    tests/test_image.py::test_splat_center_guard_matches_reference.
   * range cell 0 is never written in denoise mode (the reference's
     glob_id > 0 guard, RadarCPU.cpp:423).
 """

@@ -141,6 +141,28 @@ def test_draw_signals_denoise_never_writes_cell0():
     assert float(img[0, 1]) == pytest.approx(0.5)
 
 
+def test_splat_center_guard_matches_reference():
+    """Out-of-range CENTER cells contribute nothing — not even kernel taps
+    that would land in range. Every reference draw path gates the whole
+    splat on the center cell (`if (cell < slice.rows)`, RadarCPU.cpp:414;
+    RadarGPU.cpp:630; radar_algorithms.cu:771) before the per-tap clip;
+    a signal at the last in-range cell splats only its in-range taps."""
+    w = np.array([0.25, 1.0, 0.5], np.float32)  # width 3, mode 1
+    res = 0.05
+    t_of_cell = lambda c: (c + 0.5) * res * 2.0 / 0.3
+    # center at n_cells (out): its mode-1 tap would land at n_cells-1
+    times = jnp.array([[t_of_cell(8), t_of_cell(7)]])
+    strengths = jnp.array([[3.0, 2.0]])
+    valid = jnp.array([[True, True]])
+    img, max_val = draw_signals(times, strengths, valid, n_cells=8,
+                                resolution=res, denoise_weights=w,
+                                denoise_mode=1)
+    want = np.zeros(8, np.float32)
+    want[6:8] = 2.0 * w[0:2]   # cell-7 signal: taps 6, 7 (tap 8 clipped)
+    np.testing.assert_allclose(np.asarray(img[0]), want, atol=1e-6)
+    assert float(max_val[0]) == pytest.approx(2.0)
+
+
 def test_draw_signals_additive_superposition():
     w = np.array([1.0], np.float32)
     times = jnp.array([[2.0, 2.0, 2.0]])

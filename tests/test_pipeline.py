@@ -166,6 +166,39 @@ def test_radar_class_interface(box_scene, simple_materials):
     assert img3.shape == (64, 16)
 
 
+def test_pose_extrapolation_fallback(box_scene, simple_materials):
+    """simulate() with a stamp but no pose extrapolates from the last two
+    stamped poses — linear translation + slerp rotation along the geodesic
+    (the Radar.cpp:102-121 TF-failure fallback, upgraded from the
+    reference's verbatim last-pose reuse)."""
+    from radarays_ros_tpu.utils.transforms import make_pose, quat_from_euler
+
+    params = RadarParams.make(simple_materials, [1, 2], beam_width_deg=2.0)
+    radar = Radar(box_scene, params, _small_cfg())
+    p0 = make_pose([0.0, 0.0, 0.0], quat_from_euler(0, 0, 0.0))
+    p1 = make_pose([1.0, 2.0, 0.0], quat_from_euler(0, 0, 0.1))
+    radar.simulate(p0, stamp=10.0)
+    radar.simulate(p1, stamp=11.0)
+
+    # the extrapolation arithmetic: one stamp interval past p1
+    ext = radar.extrapolate_pose(12.0)
+    np.testing.assert_allclose(ext[0:3], [2.0, 4.0, 0.0], atol=1e-5)
+    expect_q = np.asarray(quat_from_euler(0, 0, 0.2), np.float32)
+    q = ext[3:7] * np.sign(np.dot(ext[3:7], expect_q))
+    np.testing.assert_allclose(q, expect_q, atol=1e-5)
+    # fractional extrapolation interpolates on the same line/geodesic
+    half = radar.extrapolate_pose(10.5)
+    np.testing.assert_allclose(half[0:3], [0.5, 1.0, 0.0], atol=1e-5)
+
+    # wired into simulate(): the frame runs at the extrapolated pose
+    radar.simulate_image(stamp=12.0)
+    np.testing.assert_allclose(radar._last_pose[0:3], [2.0, 4.0, 0.0],
+                               atol=1e-5)
+    # without a stamp, the fallback is the reference's verbatim reuse
+    np.testing.assert_allclose(radar.extrapolate_pose(None),
+                               radar._last_pose)
+
+
 def test_energy_decreases_with_range_monotone_shading(box_setup):
     """Farther wall -> same strength shader but later time; check binning."""
     sa, params = box_setup

@@ -393,3 +393,18 @@ def test_pallas_v3_nondividing_group_and_odd_ray_block(rng):
     np.testing.assert_array_equal(np.asarray(ref.hit), np.asarray(got2.hit))
     np.testing.assert_allclose(np.asarray(got2.t)[hit],
                                np.asarray(ref.t)[hit], rtol=1e-4, atol=1e-4)
+
+
+def test_culled_k_chunks_cap_warns(box_scene, rng):
+    """Capping the culled sweep below n_chunks opts out of exactness and
+    must say so loudly (the engines-match-brute contract holds uncapped)."""
+    import warnings
+
+    sa = box_scene.device_arrays()
+    o, d = _rays_from_origin(64, rng)
+    with pytest.warns(UserWarning, match="NO LONGER GUARANTEED EXACT"):
+        trace(sa, o, d, engine="culled", k_chunks=max(1, sa.n_chunks - 1))
+    # uncapped: no warning
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        trace(sa, o, d, engine="culled", k_chunks=None)
