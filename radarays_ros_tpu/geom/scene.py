@@ -320,3 +320,66 @@ class Scene:
 # obj_id > 10000 (radar_algorithms.cpp:29, RadarCPU.cpp:252).
 INVALID_OBJ_ID = np.int32(2**31 - 1)
 
+
+def shard_scene_arrays(sa: SceneArrays, n_shards: int) -> SceneArrays:
+    """Split a SceneArrays into n chunk-contiguous shards, stacked on a new
+    leading axis — the device layout for SCENE sharding over a mesh axis.
+
+    Chunks are independent sweep units for every culled engine, so the
+    scene partitions cleanly along the chunk axis: each shard carries a
+    contiguous run of whole chunks (every per-triangle field is chunk-major
+    after device_arrays), padded with never-hit far chunks so all shards
+    hold the same chunk count (a multiple of 8, keeping each shard on the
+    precomputed-table fast path for prep_group in {1,2,4,8}). Array leaves
+    gain a leading (n_shards,) axis; `chunk_size` stays scalar. Feed the
+    result through shard_map with PartitionSpec(axis, None, ...) per array
+    leaf (parallel/sharding.py:simulate_frame_scene_sharded); each device
+    then sweeps only its chunk wedge and per-ray winners are combined with
+    one min-reduce collective (trace/api.py:combine_trace_shards).
+
+    Beyond-parity capability: the reference has no distributed story at
+    all (SURVEY.md §2.5); this unlocks meshes larger than one chip's HBM.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    tc = int(sa.chunk_size)
+    C = sa.n_chunks
+    per = -(-C // n_shards)
+    per += (-per) % 8
+    pad = per * n_shards - C
+
+    f = {k: np.asarray(v) for k, v in sa._asdict().items()
+         if v is not None and k != "chunk_size"}
+    if pad:
+        pv = np.full((pad * tc, 3, 3), 1e8, np.float32)
+        pv[:, 1, 0] += 1.0   # tiny offsets keep normals finite
+        pv[:, 2, 1] += 1.0
+        pobj = np.full((pad * tc,), INVALID_OBJ_ID, np.int32)
+        pn, ppo, ppd = _triangle_planes(pv)
+        ext = dict(
+            verts=pv, obj_ids=pobj, normals=pn, planes_o=ppo, planes_d=ppd,
+            chunk_aabb_lo=np.full((pad, 3), 1e9, np.float32),
+            chunk_aabb_hi=np.full((pad, 3), 1e9, np.float32) + 1.0,
+        )
+        if "sweep_table_t" in f:
+            ext["sweep_table_t"] = _sweep_table(ppo, tc)
+        if "tri_table_t" in f:
+            ext["tri_table_t"] = _tri_fetch_table(pv, pn, pobj)
+        axis1 = {"sweep_table_t", "tri_table_t"}
+        f = {k: np.concatenate([v, ext[k]], axis=1 if k in axis1 else 0)
+             for k, v in f.items()}
+
+    n = n_shards
+    out = dict(chunk_size=tc)
+    for k, v in f.items():
+        if k in ("sweep_table_t", "tri_table_t"):
+            # (rows, Cp*w) -> (n, rows, per*w), chunk-major columns
+            rows = v.shape[0]
+            out[k] = np.ascontiguousarray(
+                v.reshape(rows, n, -1).transpose(1, 0, 2))
+        else:
+            # per-triangle / per-chunk leading axis: plain split
+            out[k] = v.reshape((n, v.shape[0] // n) + v.shape[1:])
+    for k in ("sweep_table_t", "tri_table_t"):
+        out.setdefault(k, None)
+    return SceneArrays(**out)

@@ -210,6 +210,74 @@ def simulate_frame_sharded_2d(scene, params, cfg, poses, key, mesh):
     return FrameResult(image_u8=image_u8, image_float=img, max_val=max_val)
 
 
+def make_mesh_scene(n_devices: Optional[int] = None,
+                    axis_name: str = "scene") -> Mesh:
+    """1-D mesh for scene (chunk-table) sharding."""
+    return make_mesh(n_devices, axis_name)
+
+
+def scene_shard_specs(stacked, axis_name: str = "scene"):
+    """PartitionSpec tree for a shard_scene_arrays result: array leaves are
+    split on their new leading axis, scalar leaves replicated."""
+    return jax.tree_util.tree_map(
+        lambda x: P(axis_name, *([None] * (np.ndim(x) - 1)))
+        if np.ndim(x) >= 1 else P(), stacked)
+
+
+def simulate_frame_scene_sharded(scene_arrays, params, cfg, poses, key, mesh,
+                                 axis_name: str = "scene"):
+    """One frame with the SCENE sharded over the mesh — rays replicated,
+    chunk tables partitioned (geom/scene.py:shard_scene_arrays).
+
+    The dual of simulate_frame_sharded: instead of splitting the azimuth
+    axis and replicating the scene (which wastes aggregate HBM and caps
+    scene size at one chip), every device holds 1/n of the chunk tables
+    and traces ALL of the frame's rays against its wedge; per-bounce
+    winners merge with one min-reduce collective
+    (trace/api.py:combine_trace_shards, enabled by cfg.trace_scene_axis).
+    Shading, drawing and noise then run replicated on identical data, so
+    the output is bit-identical to the unsharded frame up to trace
+    tie-breaks (parity-tested on the CPU mesh). This is the layout for
+    meshes LARGER than one chip's HBM — the one axis the reference (no
+    distributed story at all, SURVEY.md §2.5) cannot scale.
+
+    ICI cost model: the combine moves ~6 f32 per ray per bounce (t + tie
+    index + normal/obj/aux rows); see docs/PERFORMANCE.md.
+
+    scene_arrays: UNSHARDED host SceneArrays (this function shards them).
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from radarays_ros_tpu.geom.scene import shard_scene_arrays
+    from radarays_ros_tpu.sim.pipeline import FrameResult
+
+    n = mesh.shape[axis_name]
+    stacked = shard_scene_arrays(scene_arrays, n)
+    specs = scene_shard_specs(stacked, axis_name)
+    cfg_l = cfg.replace(trace_scene_axis=axis_name)
+
+    def local(scene_loc, params, poses, key):
+        # strip the size-1 shard axis shard_map leaves on each array leaf
+        scene_loc = jax.tree_util.tree_map(
+            lambda x: x[0] if np.ndim(x) >= 1 else x, scene_loc)
+        return simulate_frame(scene_loc, params, cfg_l, poses, key)
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(specs, P(), P(), P()),
+        out_specs=P(),
+    )
+    run = jax.jit(fn)
+
+    stacked = jax.device_put(
+        stacked, jax.tree_util.tree_map(
+            lambda s: NamedSharding(mesh, s), specs))
+    repl = NamedSharding(mesh, P())
+    params = jax.device_put(params, repl)
+    res = run(stacked, params, jnp.asarray(poses, jnp.float32), key)
+    return res
+
+
 def psnr_loss(image_float, target_float, signal_max: float):
     """Negative PSNR against a target float image (both (A, n_cells))."""
     mse = jnp.mean((image_float - target_float) ** 2)

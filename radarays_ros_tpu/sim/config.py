@@ -156,7 +156,18 @@ class RadarModelConfig:
     trace_engine: str = "auto"                     # auto | brute | mxu | culled | pallas3
     trace_ray_block: int = 2048
     trace_tri_chunk: int = 2048
+    # culled-engine sweep cap. None (default) keeps the sweep EXACT; any
+    # smaller cap trades exactness for bounded worst-case latency and makes
+    # trace_planes_culled emit a loud UserWarning (the engines-match-brute
+    # contract only holds uncapped).
     trace_k_chunks: Optional[int] = None
+    # SCENE sharding: name of the shard_map mesh axis the scene's chunk
+    # tables are partitioned over (geom/scene.py:shard_scene_arrays). When
+    # set, every bounce's trace results are merged across that axis with
+    # one min-reduce collective (trace/api.py:combine_trace_shards). Only
+    # meaningful inside shard_map (parallel/sharding.py:
+    # simulate_frame_scene_sharded); None = unsharded scene.
+    trace_scene_axis: Optional[str] = None
     # pallas3 culling supergroup (chunks ranked/DMA'd together). 1 is best
     # for <=~2M-triangle scenes; raise to 4-8 beyond ~5M triangles so the
     # per-block chunk-entry table stays inside the kernel's VMEM scope

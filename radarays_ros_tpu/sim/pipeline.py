@@ -132,6 +132,12 @@ def _bounce(cfg: RadarModelConfig, params: RadarParams, scene: SceneArrays,
         **({"tri_chunk": cfg.trace_tri_chunk} if engine == "mxu" else {}),
         **({"k_chunks": cfg.trace_k_chunks} if engine == "culled" else {}),
     )
+    if cfg.trace_scene_axis is not None:
+        # chunk-sharded scene (shard_map): each device traced its chunk
+        # wedge only; merge the per-ray winners across the scene axis
+        from radarays_ros_tpu.trace.api import combine_trace_shards
+
+        res = combine_trace_shards(res, cfg.trace_scene_axis)
 
     alive = waves.valid & res.hit
     safe_t = jnp.where(alive, res.t, 0.0)
@@ -140,6 +146,12 @@ def _bounce(cfg: RadarModelConfig, params: RadarParams, scene: SceneArrays,
     # material flip: air -> hit object's material, material -> air
     # (RadarCPU.cpp:264-271)
     in_air = waves.material_id == cfg.material_id_air
+    # Miss lanes: the aux path yields material 0 (aux = 0.0 on miss), the
+    # gather path yields whatever INVALID_OBJ_ID clips to — refr_mat/v2 on
+    # those lanes are DEAD BY CONSTRUCTION (every consumer — fresnel
+    # children, _shade — is gated by alive/refl_valid, and alive requires
+    # res.hit), so the two paths are equivalent; don't add consumers of
+    # refr_mat/v2 that aren't alive-gated.
     if res.aux is not None:
         hit_mat = res.aux.astype(jnp.int32)
     else:

@@ -54,6 +54,40 @@ class TraceResult(NamedTuple):
     aux: jnp.ndarray = None
 
 
+def combine_trace_shards(res: TraceResult, axis: str) -> TraceResult:
+    """Merge per-device trace results of a chunk-sharded scene.
+
+    Inside shard_map with the scene partitioned over mesh axis `axis`
+    (geom/scene.py:shard_scene_arrays), every device traces ALL rays
+    against ITS chunk wedge; the global nearest hit per ray is the
+    min-over-devices of the local winners. One pmin picks the winning
+    distance, a second pmin breaks exact-distance ties deterministically
+    by shard index (coplanar surfaces straddling a shard boundary), and
+    one psum broadcasts the winner's (normal, obj_id, aux) rows — the
+    cross-chip traffic is ~6 f32 per ray per bounce, all on ICI.
+    """
+    t = jnp.where(res.hit, res.t, jnp.inf)
+    t_g = jax.lax.pmin(t, axis)
+    idx = jax.lax.axis_index(axis)
+    win = res.hit & (t == t_g)
+    widx = jax.lax.pmin(jnp.where(win, idx, jnp.int32(2**30)), axis)
+    mine = win & (idx == widx)
+    hit_g = jnp.isfinite(t_g)
+    normal = jax.lax.psum(jnp.where(mine[..., None], res.normal, 0.0), axis)
+    obj = jax.lax.psum(jnp.where(mine, res.obj_id, 0), axis)
+    aux = (None if res.aux is None
+           else jax.lax.psum(jnp.where(mine, res.aux, 0.0), axis))
+    from radarays_ros_tpu.geom.scene import INVALID_OBJ_ID
+
+    return TraceResult(
+        hit=hit_g,
+        t=jnp.where(hit_g, t_g, jnp.inf),
+        normal=normal,
+        obj_id=jnp.where(hit_g, obj, INVALID_OBJ_ID),
+        aux=aux,
+    )
+
+
 def resolve_engine(engine: str) -> str:
     """Resolve "auto" to the fast engine for the current backend."""
     if engine == "auto":

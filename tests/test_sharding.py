@@ -122,3 +122,85 @@ def test_2d_sharded_max_combine_and_scroll(setup):
     diff = np.abs(np.asarray(ref.image_u8, np.int32)
                   - np.asarray(got.image_u8, np.int32))
     assert np.mean(diff > 1) < 0.001
+
+
+def test_shard_scene_arrays_layout(setup):
+    """Chunk-contiguous shards: every per-triangle/chunk field splits along
+    its leading axis, the packed tables along their column (chunk) axis."""
+    from radarays_ros_tpu.geom.scene import shard_scene_arrays
+
+    scene, *_ = setup
+    n = 4
+    st = shard_scene_arrays(scene, n)
+    tc = int(st.chunk_size)
+    per = st.chunk_aabb_lo.shape[1]
+    assert st.verts.shape == (n, per * tc, 3, 3)
+    assert st.sweep_table_t.shape == (n, 8, per * 5 * tc)
+    assert st.tri_table_t.shape == (n, 16, per * tc)
+    # the first shard's leading chunks are the original leading chunks
+    np.testing.assert_array_equal(
+        st.verts.reshape(-1, 3, 3)[: scene.verts.shape[0] // 2],
+        np.asarray(scene.verts)[: scene.verts.shape[0] // 2])
+
+
+def test_scene_sharded_frame_matches_single_device(setup):
+    """SCENE sharding (chunk tables partitioned, rays replicated) must
+    reproduce the unsharded frame — the min-reduce winner combine
+    (trace/api.py:combine_trace_shards) is exact up to trace tie-breaks."""
+    from radarays_ros_tpu.parallel.sharding import (
+        make_mesh_scene, simulate_frame_scene_sharded)
+
+    scene, params, cfg, poses, key = setup
+    mesh = make_mesh_scene(len(jax.devices()))
+    ref = simulate_frame(scene, params, cfg, poses, key)
+    got = simulate_frame_scene_sharded(scene, params, cfg, poses, key, mesh)
+    np.testing.assert_allclose(np.asarray(ref.image_float),
+                               np.asarray(got.image_float),
+                               rtol=1e-5, atol=1e-4)
+    diff = np.abs(np.asarray(ref.image_u8, np.int32)
+                  - np.asarray(got.image_u8, np.int32))
+    assert np.mean(diff > 1) < 0.001
+
+
+def test_scene_sharded_trace_combine_exact(setup, rng):
+    """Trace-level check on an urban scene: shard_map over the scene axis +
+    combine == unsharded trace, bit-for-bit on hits/t/obj."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from radarays_ros_tpu.geom.primitives import make_urban_scene
+    from radarays_ros_tpu.geom.scene import Scene, shard_scene_arrays
+    from radarays_ros_tpu.parallel.sharding import (
+        make_mesh_scene, scene_shard_specs)
+    from radarays_ros_tpu.trace.api import combine_trace_shards, trace
+
+    parts, names = make_urban_scene(n_buildings=24, extent=60.0, seed=3)
+    sa = Scene.compose(parts, names, chunk_size=16).device_arrays()
+    n = len(jax.devices())
+    mesh = make_mesh_scene(n)
+    stacked = shard_scene_arrays(sa, n)
+    specs = scene_shard_specs(stacked)
+
+    az = rng.uniform(0, 2 * np.pi, 256)
+    el = rng.uniform(-0.05, 0.05, 256)
+    d = np.stack([np.cos(el) * np.cos(az), np.cos(el) * np.sin(az),
+                  np.sin(el)], -1).astype(np.float32)
+    o = np.broadcast_to(np.array([0, 0, 2.0], np.float32), (256, 3)).copy()
+    o_j, d_j = jnp.asarray(o), jnp.asarray(d)
+
+    def local(sc, o_j, d_j):
+        sc = jax.tree_util.tree_map(
+            lambda x: x[0] if np.ndim(x) >= 1 else x, sc)
+        r = trace(sc, o_j, d_j, engine="culled", k_chunks=None)
+        return combine_trace_shards(r, "scene")
+
+    fn = jax.jit(shard_map(local, mesh=mesh,
+                           in_specs=(specs, P(), P()), out_specs=P()))
+    got = fn(stacked, o_j, d_j)
+    ref = trace(sa, o_j, d_j, engine="culled", k_chunks=None)
+    np.testing.assert_array_equal(np.asarray(ref.hit), np.asarray(got.hit))
+    hit = np.asarray(ref.hit)
+    np.testing.assert_array_equal(np.asarray(ref.t)[hit],
+                                  np.asarray(got.t)[hit])
+    np.testing.assert_array_equal(np.asarray(ref.obj_id),
+                                  np.asarray(got.obj_id))
