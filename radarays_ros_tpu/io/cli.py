@@ -391,6 +391,80 @@ def cmd_explore(args) -> int:
     return 0
 
 
+def cmd_render(args) -> int:
+    """Paper-style cartesian rendering of a polar frame (the view of the
+    reference's published result, dat/kaist02_radarays_papercolor.png,
+    README.md:11-14), plus an optional statistical comparison against a
+    reference image — the honest stand-in for the eval_real_to_sim bag
+    replay when no raw Navtech data is available (viz/cartesian.py)."""
+    from radarays_ros_tpu.io.image_io import (
+        read_image_gray, read_png_gray, write_png_gray, write_png_rgb)
+    from radarays_ros_tpu.viz.cartesian import (
+        cartesian_stats, colorize_papercolor, compare_imaging_stats,
+        imaging_stats, polar_to_cartesian)
+
+    polar = read_png_gray(args.frame) if args.frame.endswith(".png") \
+        else np.load(args.frame)
+    max_cell = None
+    if args.max_range is not None:
+        max_cell = int(round(args.max_range / args.resolution))
+    cart = polar_to_cartesian(polar, size=args.size, max_cell=max_cell,
+                              scroll=args.scroll)
+    if args.stretch:
+        from radarays_ros_tpu.viz.cartesian import stretch_contrast
+
+        cart = stretch_contrast(cart)
+    if args.out:
+        if args.color:
+            write_png_rgb(args.out, colorize_papercolor(cart))
+        else:
+            write_png_gray(args.out, cart)
+        print(f"wrote {args.out}")
+
+    report = {"polar_stats": imaging_stats(
+        polar, noise_threshold=args.noise_threshold)}
+    if args.against_polar:
+        # polar-to-polar statistics against a (cropped) reference polar
+        # panel — e.g. the REAL Navtech panel of the published figure
+        # (dat/kaist02_radarays_papercolor.png, left 375 cols) or the
+        # reference's own simulated panel (right). Our frame is cropped to
+        # the same range-row count for comparability.
+        ref = read_image_gray(args.against_polar)
+        if args.against_crop:
+            x0, y0, x1, y1 = (int(v) for v in args.against_crop.split(","))
+            ref = ref[y0:y1, x0:x1]
+        sim_rows = polar[:ref.shape[0]]
+        ref_stats = imaging_stats(ref, noise_threshold=args.noise_threshold)
+        sim_stats = imaging_stats(sim_rows,
+                                  noise_threshold=args.noise_threshold)
+        report["reference_polar_stats"] = ref_stats
+        report["sim_polar_stats_cropped"] = sim_stats
+        report["polar_comparison"] = compare_imaging_stats(sim_stats,
+                                                           ref_stats)
+        for k, v in report["polar_comparison"].items():
+            print(f"polar {k}: {v:.4f}")
+    if args.against_image:
+        ref = read_image_gray(args.against_image)
+        center = None
+        if args.against_center:
+            cx, cy = (float(x) for x in args.against_center.split(","))
+            center = (cy, cx)
+        ref_stats = cartesian_stats(
+            ref, center=center, radius=args.against_radius,
+            noise_threshold=args.noise_threshold)
+        sim_stats = cartesian_stats(cart,
+                                    noise_threshold=args.noise_threshold)
+        report["reference_stats"] = ref_stats
+        report["sim_cartesian_stats"] = sim_stats
+        report["comparison"] = compare_imaging_stats(sim_stats, ref_stats)
+        for k, v in report["comparison"].items():
+            print(f"{k}: {v:.4f}")
+    if args.stats_out:
+        Path(args.stats_out).write_text(json.dumps(report, indent=2))
+        print(f"wrote {args.stats_out}")
+    return 0
+
+
 def _common(p: argparse.ArgumentParser):
     p.add_argument("--mesh", required=True,
                    help="scene mesh (.ply/.obj/.stl/.dae)")
@@ -519,6 +593,41 @@ def build_parser() -> argparse.ArgumentParser:
     ex.add_argument("--p-in-cone", type=float, default=0.8)
     ex.add_argument("--seed", type=int, default=0)
     ex.set_defaults(fn=cmd_explore)
+
+    rd = sub.add_parser(
+        "render", help="paper-style cartesian view of a polar frame "
+                       "(+ stats comparison against a reference image)")
+    rd.add_argument("--frame", required=True,
+                    help="polar frame (.png mono8 or .npy, (n_cells, A))")
+    rd.add_argument("--out", help="cartesian PNG output")
+    rd.add_argument("--color", action="store_true",
+                    help="papercolor colormap instead of grayscale")
+    rd.add_argument("--stretch", action="store_true",
+                    help="percentile contrast stretch for display")
+    rd.add_argument("--size", type=int, default=800)
+    rd.add_argument("--scroll", type=int, default=0)
+    rd.add_argument("--resolution", type=float, default=0.0595238,
+                    help="m/cell (for --max-range)")
+    rd.add_argument("--max-range", type=float,
+                    help="crop the view at this range [m]")
+    rd.add_argument("--noise-threshold", type=int, default=32)
+    rd.add_argument("--against-polar",
+                    help="reference POLAR image/panel to compare polar "
+                         "statistics against (rows=range, cols=azimuth)")
+    rd.add_argument("--against-crop",
+                    help="'x0,y0,x1,y1' pixel crop of --against-polar "
+                         "(e.g. 0,0,375,761 = the real Navtech panel of "
+                         "the published figure)")
+    rd.add_argument("--against-image",
+                    help="reference cartesian image to compare statistics "
+                         "against (e.g. the published figure)")
+    rd.add_argument("--against-center",
+                    help="'cx,cy' pixel center of the reference view "
+                         "(default: image center)")
+    rd.add_argument("--against-radius", type=float,
+                    help="radius [px] of the reference radar disc")
+    rd.add_argument("--stats-out", help="write the stats report JSON here")
+    rd.set_defaults(fn=cmd_render)
     return ap
 
 

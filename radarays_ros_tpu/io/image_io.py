@@ -38,6 +38,41 @@ def write_png_gray(path, img: np.ndarray) -> None:
     Path(path).write_bytes(png)
 
 
+def write_png_rgb(path, img: np.ndarray) -> None:
+    """Write a (H, W, 3) uint8 array as an 8-bit RGB PNG."""
+    img = np.ascontiguousarray(img, np.uint8)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) image, got {img.shape}")
+    h, w = img.shape[:2]
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+    Path(path).write_bytes(png)
+
+
+def read_image_gray(path) -> np.ndarray:
+    """Read ANY common image as (H, W) uint8 grayscale: the in-tree PNG
+    reader for our own mono8 frames, with a PIL fallback for external
+    color images (e.g. the reference's published figure,
+    dat/kaist02_radarays_papercolor.png)."""
+    try:
+        return read_png_gray(path)
+    except ValueError:
+        try:
+            from PIL import Image
+        except ImportError as e:  # pragma: no cover - env without PIL
+            raise ValueError(
+                f"{path}: not an 8-bit grayscale PNG and PIL is "
+                "unavailable for conversion") from e
+        return np.asarray(Image.open(path).convert("L"), np.uint8)
+
+
 def read_png_gray(path) -> np.ndarray:
     """Read an 8-bit grayscale PNG written by write_png_gray (filter 0/none,
     also unfilters sub/up/average/paeth for externally produced files)."""

@@ -194,3 +194,77 @@ def test_explore_cli(tmp_path):
 
     data = _json.loads(out.read_text())
     assert "reflectance" in data and "refraction_angle_deg" in data
+
+
+def test_polar_to_cartesian_geometry():
+    """A bright cell at range r, azimuth column a lands at
+    (r cos th_a, r sin th_a) in the view (x up, y left; th_a = -2pi a/A),
+    matching polar_to_points (io/image_io.py)."""
+    from radarays_ros_tpu.viz.cartesian import polar_to_cartesian
+
+    n_cells, A = 64, 16
+    img = np.zeros((n_cells, A), np.uint8)
+    img[40, 0] = 200    # straight ahead (+x = up in the view)
+    img[40, 4] = 100    # a quarter turn: th = -pi/2 -> y = -40 (right)
+    cart = polar_to_cartesian(img, size=129, bilinear=False)
+    half = 64
+    scale = half / (n_cells - 1)
+    # +x is up: row = half - 40*scale
+    assert cart[half - int(round(40 * scale)), half] == 200
+    # th=-pi/2: y=-40 -> col = half + 40*scale
+    assert cart[half, half + int(round(40 * scale))] == 100
+    # outside the disc is zero
+    assert cart[0, 0] == 0
+
+
+def test_imaging_stats_and_compare_self_zero():
+    from radarays_ros_tpu.viz.cartesian import (
+        compare_imaging_stats, imaging_stats)
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 20, size=(256, 64)).astype(np.uint8)
+    img[10:20, 5] = 200
+    st = imaging_stats(img)
+    assert 0.0 < st["return_fraction"] < 0.05
+    cmp_self = compare_imaging_stats(st, st)
+    assert all(v == 0.0 for v in cmp_self.values())
+
+
+def test_cartesian_stats_roundtrip_close():
+    """Rendering a polar frame to cartesian and measuring there must land
+    near the polar statistics (same distributions, resampled grid)."""
+    from radarays_ros_tpu.viz.cartesian import (
+        cartesian_stats, compare_imaging_stats, imaging_stats,
+        polar_to_cartesian)
+
+    rng = np.random.default_rng(1)
+    img = (rng.random((128, 32)) * 24).astype(np.uint8)
+    img[30:40, :] = 180                      # a bright ring
+    pol = imaging_stats(img)
+    cart = cartesian_stats(polar_to_cartesian(img, size=257))
+    d = compare_imaging_stats(pol, cart)
+    assert d["return_fraction_delta"] < 0.05
+    assert d["noise_floor_tv_distance"] < 0.35
+
+
+def test_render_cli(tmp_path):
+    from radarays_ros_tpu.io.cli import main
+    from radarays_ros_tpu.io.image_io import read_png_gray, write_png_gray
+
+    rng = np.random.default_rng(2)
+    frame = (rng.random((128, 32)) * 24).astype(np.uint8)
+    frame[50:60, 10:20] = 220
+    fp = tmp_path / "frame.png"
+    write_png_gray(fp, frame)
+    out = tmp_path / "cart.png"
+    stats = tmp_path / "stats.json"
+    rc = main(["render", "--frame", str(fp), "--out", str(out), "--stretch",
+               "--against-polar", str(fp), "--stats-out", str(stats)])
+    assert rc == 0
+    img = read_png_gray(out)
+    assert img.shape == (800, 800) and img.max() > 0
+    import json as _json
+
+    rep = _json.loads(stats.read_text())
+    # self-comparison distances are exactly zero
+    assert all(v == 0.0 for v in rep["polar_comparison"].values())
