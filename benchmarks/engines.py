@@ -34,7 +34,8 @@ def median_time(fn, n=5):
     return float(np.median(ts))
 
 
-def saturated_trace(sa, n_rays: int, coherent: bool, seed: int = 0):
+def saturated_trace(sa, n_rays: int, coherent: bool, seed: int = 0,
+                    two_phase_cap=None):
     """pallas3 Mrays/s at saturation (BASELINE.md's companion metric).
 
     Large ray counts make on-device time dominate the relay round-trip
@@ -69,17 +70,19 @@ def saturated_trace(sa, n_rays: int, coherent: bool, seed: int = 0):
     d_j = jnp.asarray(d, jnp.float32)
 
     @jax.jit
-    def run(dd):
+    def run(sa, dd):
         # incoherent rays need the spatial ray sort: the culled sweep's
-        # efficiency rests on intra-block coherence (trace/pallas_trace.py)
+        # efficiency rests on intra-block coherence (trace/pallas_trace.py).
+        # NOTE: the scene is an ARGUMENT, not a closure — closed-over scene
+        # tables get inlined into the compile payload (hundreds of MB).
         r = trace(sa, o_j, dd, engine="pallas3", ray_block=2048,
-                  sort_rays=not coherent)
+                  sort_rays=not coherent, two_phase_cap=two_phase_cap)
         return jnp.sum(jnp.where(jnp.isfinite(r.t), r.t, 0.0)), \
             jnp.mean(r.hit.astype(jnp.float32))
 
-    _, hr = run(d_j)
+    _, hr = run(sa, d_j)
     hr = float(hr)
-    dt = median_time(lambda i: float(run(d_j * (1.0 + 1e-6 * (i + 1)))[0]),
+    dt = median_time(lambda i: float(run(sa, d_j * (1.0 + 1e-6 * (i + 1)))[0]),
                      n=3)
     return len(d) / dt / 1e6, dt, hr
 
@@ -115,12 +118,15 @@ def main():
         # single calls beyond ~1M rays exceed HBM on one v5e; 1M saturates
         # (device time ~0.5 s >> the ~50 ms relay fetch)
         for n_rays in (524_288, 1_048_576):
-            for coherent in (True, False):
-                mrays, dt, hr = saturated_trace(sa, n_rays, coherent)
+            for coherent, cap in ((True, None), (False, None),
+                                  (False, 75.0)):
+                mrays, dt, hr = saturated_trace(sa, n_rays, coherent,
+                                                two_phase_cap=cap)
                 print(json.dumps({
                     "bench": "saturated_trace", "engine": "pallas3",
                     "rays": n_rays,
                     "mode": "coherent" if coherent else "incoherent",
+                    **({"two_phase_cap": cap} if cap else {}),
                     "mrays_per_sec": round(mrays, 2),
                     "ms": round(dt * 1e3, 1), "hit_rate": round(hr, 4)}))
         return
@@ -141,15 +147,15 @@ def main():
         kw = {"ray_block": 2048}
 
         @jax.jit
-        def run(dd, engine=engine, kw=kw):
+        def run(sa, dd, engine=engine, kw=kw):
             r = trace(sa, o_j, dd, engine=engine, **kw)
             return jnp.sum(r.hit), jnp.mean(r.hit.astype(jnp.float32))
 
         try:
-            _, hit_rate = run(d_j)
+            _, hit_rate = run(sa, d_j)
             hit_rate = float(hit_rate)
             dt = median_time(
-                lambda i: int(run(d_j * (1.0 + 1e-6 * (i + 1)))[0]))
+                lambda i: int(run(sa, d_j * (1.0 + 1e-6 * (i + 1)))[0]))
             mrays = args.rays / dt / 1e6
             results[engine] = mrays
             print(json.dumps({"bench": "trace", "engine": engine,
@@ -185,14 +191,14 @@ def main():
             trace_ray_block=2048)
         try:
             @jax.jit
-            def frame_sum(k):
+            def frame_sum(sa, k):
                 return jnp.sum(
                     simulate_frame_jit(sa, params, cfg, pose, k
                                        ).image_u8.astype(jnp.int32))
 
-            int(frame_sum(key))
+            int(frame_sum(sa, key))
             dt = median_time(
-                lambda i: int(frame_sum(jax.random.fold_in(key, i + 1))),
+                lambda i: int(frame_sum(sa, jax.random.fold_in(key, i + 1))),
                 n=args.frames)
             frame[engine] = 1.0 / dt
             print(json.dumps({"bench": "frame", "engine": engine,

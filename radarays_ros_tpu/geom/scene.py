@@ -30,14 +30,15 @@ class SceneArrays(NamedTuple):
     chunk_aabb_hi: np.ndarray    # (C, 3) chunk AABB maxima
     chunk_size: int              # triangles per chunk (static)
     # Pallas-kernel DMA layout of the intersection tables (_sweep_table):
-    # (8, C*5*chunk_size) with chunk-major [so | sd | edge0 | edge1 | edge2]
+    # (SWEEP_K, C*5*chunk_size) with chunk-major [so | sd | e0 | e1 | e2]
     # column groups in a 5-rows-per-triangle edge-numerator form (see
     # _sweep_table for the derivation — 8 plane rows per triangle collapse
-    # to 5 matmul output rows, the sweep kernel's dominant VMEM stream).
-    # Scene-constant: precomputing it here keeps a ~160 MB strided
-    # transpose out of every traced pallas3 call (None -> the tracer
-    # derives it on the fly, e.g. for hand-built SceneArrays).
-    sweep_table_t: Optional[np.ndarray] = None   # (8, 5T)
+    # to 5 matmul output rows, the sweep kernel's dominant VMEM stream),
+    # with each coefficient SPLIT-EXACT along the contraction axis so one
+    # default-precision MXU pass is f32-exact on TPU (see _SPLIT_PAIRS).
+    # Scene-constant: precomputed here (None -> the tracer derives it on
+    # the fly, e.g. for hand-built SceneArrays).
+    sweep_table_t: Optional[np.ndarray] = None   # (SWEEP_K, 5T)
     # Packed per-triangle fetch table for the pallas3 in-kernel hit fetch,
     # (16, T): rows 0-8 = v0,e1,e2; 9-11 = unit normal; 12 = obj_id as f32
     # (-1 for padding triangles); 13-15 zero. The sweep kernel contracts it
@@ -93,29 +94,77 @@ def _triangle_planes(verts: np.ndarray):
     return n_unit.astype(np.float32), planes_o, planes_d
 
 
+# Split-exact MXU scheme (the sweep kernel's f32 exactness on real TPUs).
+#
+# Mosaic lowers f32 matmuls by truncating INPUTS to bf16 (8-bit mantissa) —
+# measured on a v5e as ~0.4%-relative slop: 1% wrong hits vs the brute
+# oracle and object ids rounded to bf16-representable values. Requesting
+# Precision.HIGHEST fixes it but runs SIX accumulation passes, each
+# streaming the full (5Tc, RB) output through VMEM — measured 2.7x slower.
+#
+# Instead, every f32 value is pre-split into THREE bf16-exact f32 parts
+# (v = v0 + v1 + v2, 8 mantissa bits each), and each scalar product a*b is
+# expanded into the six dominant part-products along the CONTRACTION axis:
+# (i, j) in _SPLIT_PAIRS covers i+j <= 2, leaving only O(2^-24)-relative
+# terms out — f32-rounding-level accuracy. The MXU truncation of the
+# pre-split inputs is LOSSLESS, products of 8-bit-mantissa values are
+# exact in f32 accumulation, and K grows 8 -> 40 (still one MXU pass:
+# K <= 128 fits the systolic depth), so the output is written ONCE.
+_SPLIT_PAIRS = ((0, 0), (0, 1), (1, 0), (0, 2), (1, 1), (2, 0))
+SWEEP_K = 40  # 39 used slots (18 o/w + 3 one + 18 d), padded to 8-multiple
+
+
+def _bf16_parts(x, xp=np):
+    """Split f32 into 3 f32 parts, each exactly bf16-representable, with
+    x == p0 + p1 + p2 exactly (standard bf16x3 operand splitting)."""
+    if xp is np:
+        import ml_dtypes
+
+        bf16 = ml_dtypes.bfloat16
+    else:
+        bf16 = "bfloat16"
+    p0 = x.astype(bf16).astype(xp.float32)
+    r = x - p0
+    p1 = r.astype(bf16).astype(xp.float32)
+    return p0, p1, r - p1
+
+
 def _sweep_table(planes_o, chunk_size: int, xp=np):
-    """Pallas sweep-kernel intersection table: (8, C*5*Tc), chunk-major
-    column groups [so | sd | edge0 | edge1 | edge2] (trace/pallas_trace.py).
+    """Pallas sweep-kernel intersection table: (SWEEP_K, C*5*Tc),
+    chunk-major column groups [so | sd | edge0 | edge1 | edge2]
+    (trace/pallas_trace.py).
 
     The kernel contracts each chunk slab against two per-ray feature
-    vectors, F_A = [o, 1, d, 0] and F_B = [d, o x d, 0, 0]. With a
-    triangle's support plane (n, c) and unit edge planes (m_k, c_k) from
-    `planes_o`, the columns encode
+    vectors built by trace/pallas_trace.py:_sweep_features. Logically,
+    with a triangle's support plane (n, c) and unit edge planes
+    (m_k, c_k) from `planes_o`, the columns encode
 
-        so  = n.o + c                      column [n, c, 0, 0, 0, 0]
-        sd  = n.d                          column [0, 0, 0, 0, n, 0]
-        N_k = B_k.d + A_k.(o x d)          column [B_k, A_k, 0, 0]
-              with A_k = m_k x n,  B_k = c_k n - c m_k
+        so  = n.o + c          (vs features [o, 1])
+        sd  = n.d              (vs features [d])
+        N_k = B_k.d + A_k.(o x d)   with A_k = m_k x n, B_k = c_k n - c m_k
 
     N_k is the edge evaluation e_k(t) = (m_k.o + c_k) + t (m_k.d) at
     t = -so/sd, SCALED by sd (a Pluecker-style bilinear identity), so the
     oracle's inside test e_k >= -eps becomes the division-free, sign-safe
         N_k * sd + eps * sd^2 >= 0.
-    This collapses the 8 matmul output rows per triangle (so+sd for 4
-    planes) to 5 — the sweep kernel's dominant VMEM stream. The decision
-    boundary matches the plane-form engines up to f32 rounding inside the
-    +-eps edge band (the same order of daylight the plane engines already
-    have against the brute oracle's eps-free Moller-Trumbore test).
+    5 output rows per triangle instead of the naive 8 (so+sd for all 4
+    planes) — the sweep's dominant VMEM stream.
+
+    Physically, every coefficient is laid out split-exact (see
+    _SPLIT_PAIRS above): coefficient slots hold bf16-exact parts paired
+    against matching feature parts, so a single DEFAULT-precision MXU pass
+    computes the f32-exact contraction. Slot layout (table part index i
+    per _SPLIT_PAIRS order):
+
+      A-contraction rows (so/sd columns), K = 40:
+        rows  0-17  n_c^i vs o_c^j     (3 comps x 6 pairs)   [so]
+        rows 18-20  c^0,c^1,c^2 vs 1                          [so]
+        rows 21-38  n_c^i vs d_c^j                            [sd]
+        row     39  zero pad
+      B-contraction rows (edge columns), K = 40:
+        rows  0-17  B_k,c^i vs d_c^j                          [N_k]
+        rows 18-35  A_k,c^i vs (o x d)_c^j                    [N_k]
+        rows 36-39  zero pad
 
     Generic over numpy/jnp (`xp`): the host scene build and the tracer's
     fallback for hand-built SceneArrays share this one implementation.
@@ -130,15 +179,28 @@ def _sweep_table(planes_o, chunk_size: int, xp=np):
     ck = po[:, 1:4, 3]                    # (T, 3) edge-plane offsets
     A = xp.cross(m, n[:, None, :])                          # (T, 3, 3)
     B = ck[..., None] * n[:, None, :] - c_t[..., None] * m  # (T, 3, 3)
-    z1 = xp.zeros((T, 1), xp.float32)
-    z4 = xp.zeros((T, 4), xp.float32)
-    so_col = xp.concatenate([n, c_t, z4], axis=-1)          # (T, 8)
-    sd_col = xp.concatenate([z4, n, z1], axis=-1)           # (T, 8)
+
+    def six(v):
+        """(T, ..., 3) -> (T, ..., 3, 6): the table-side part per slot."""
+        parts = _bf16_parts(v, xp)
+        return xp.stack([parts[i] for i, _ in _SPLIT_PAIRS], axis=-1)
+
+    K = SWEEP_K
+    Tz = (T,)
+    n6 = six(n).reshape(T, 18)                     # n_c^i, c-major
+    c3 = xp.stack(_bf16_parts(c_t[:, 0], xp), -1)  # (T, 3)
+    zpad = xp.zeros(Tz + (1,), xp.float32)
+    so_col = xp.concatenate(
+        [n6, c3, xp.zeros((T, 18), xp.float32), zpad], axis=-1)  # (T, 40)
+    sd_col = xp.concatenate(
+        [xp.zeros((T, 21), xp.float32), n6, zpad], axis=-1)      # (T, 40)
+    B6 = six(B).reshape(T, 3, 18)                  # B_k,c^i
+    A6 = six(A).reshape(T, 3, 18)
     e_cols = xp.concatenate(
-        [B, A, xp.zeros((T, 3, 2), xp.float32)], axis=-1)   # (T, 3, 8)
+        [B6, A6, xp.zeros((T, 3, 4), xp.float32)], axis=-1)      # (T, 3, 40)
     cols = xp.concatenate(
-        [so_col[:, None], sd_col[:, None], e_cols], axis=1)  # (T, 5, 8)
-    tbl = cols.reshape(C, tc, 5, 8).transpose(0, 2, 1, 3).reshape(-1, 8).T
+        [so_col[:, None], sd_col[:, None], e_cols], axis=1)      # (T, 5, 40)
+    tbl = cols.reshape(C, tc, 5, K).transpose(0, 2, 1, 3).reshape(-1, K).T
     return (np.ascontiguousarray(tbl, np.float32) if xp is np
             else tbl.astype(xp.float32))
 
@@ -290,7 +352,9 @@ class Scene:
             lo = chunks.min(axis=(1, 2))
             hi = chunks.max(axis=(1, 2))
 
-        sweep_t = _sweep_table(planes_o, self.chunk_size)
+        sweep_t = (native_builder.sweep_table(planes_o, self.chunk_size)
+                   if native_builder.available()
+                   else _sweep_table(planes_o, self.chunk_size))
         tri_t = _tri_fetch_table(verts, normals, obj_ids)
         return SceneArrays(
             verts=verts,

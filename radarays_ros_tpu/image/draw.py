@@ -129,11 +129,15 @@ def draw_signals(times, strengths, valid, *, n_cells: int, resolution,
             point = jnp.zeros((A, n_cells), jnp.float32).at[
                 az, jnp.where(ok, cell, 0)].add(jnp.where(ok, strengths, 0.0))
         # correlate so out[cell + k - mode] += strength * w[k]
+        # precision=HIGHEST: the TPU default truncates f32 conv inputs
+        # to bf16, which would perturb the splat weights ~0.4% and break
+        # bin-for-bin parity with the scalar oracle on hardware
         img = jax.lax.conv_general_dilated(
             point[:, None, :],
             w[::-1][None, None, :],
             window_strides=(1,),
             padding=[(W - 1 - denoise_mode, denoise_mode)],
+            precision=jax.lax.Precision.HIGHEST,
         )[:, 0, :]
         # reference never writes range cell 0 in denoise mode (glob_id > 0)
         img = img.at[:, 0].set(0.0)

@@ -41,6 +41,9 @@ def _lib():
         lib.rr_chunk_aabbs.restype = None
         lib.rr_triangle_planes.argtypes = [fp, ctypes.c_int64, fp, fp, fp]
         lib.rr_triangle_planes.restype = None
+        lib.rr_sweep_table.argtypes = [
+            fp, ctypes.c_int64, ctypes.c_int64, fp]
+        lib.rr_sweep_table.restype = None
         i64p = ctypes.POINTER(ctypes.c_int64)
         lib.rr_obj_count.argtypes = [ctypes.c_char_p, i64p, i64p, i64p]
         lib.rr_obj_count.restype = ctypes.c_int
@@ -74,6 +77,20 @@ def median_split_order(centers: np.ndarray, chunk_size: int) -> np.ndarray:
         _fp(centers), ctypes.c_int64(n), ctypes.c_int64(chunk_size),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
+    return out
+
+
+def sweep_table(planes_o: np.ndarray, chunk_size: int) -> np.ndarray:
+    """(SWEEP_K, 5T) split-exact Pallas sweep-kernel table via the C++
+    builder (same contract as geom/scene.py:_sweep_table)."""
+    from radarays_ros_tpu.geom.scene import SWEEP_K
+
+    lib = _lib()
+    planes_o = np.ascontiguousarray(planes_o, np.float32)
+    T = planes_o.shape[0] // 4
+    out = np.empty((SWEEP_K, 5 * T), np.float32)
+    lib.rr_sweep_table(_fp(planes_o), ctypes.c_int64(T),
+                       ctypes.c_int64(chunk_size), _fp(out))
     return out
 
 

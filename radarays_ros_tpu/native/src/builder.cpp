@@ -147,6 +147,88 @@ void rr_triangle_planes(const float* verts, int64_t n, float* normals_out,
   }
 }
 
+// Pallas sweep-kernel intersection table (geom/scene.py:_sweep_table):
+// planes_o (4T, 4) -> out (40, 5T) row-major in the chunk-major
+// [so | sd | edge0 | edge1 | edge2] column-group, SPLIT-EXACT layout:
+// every coefficient is split into 3 bf16-exact parts laid out along the
+// contraction axis per the (i, j) pair table, so the TPU MXU's bf16
+// input truncation is lossless and ONE DEFAULT-precision pass computes
+// the f32-exact contraction (see the Python docstring for the full
+// derivation and the slot map). Each triangle writes 5 distinct columns:
+// no races.
+
+static inline float rr_bf16_round(float x) {
+  // round-to-nearest-even truncation of an f32 to bf16, as f32
+  uint32_t bits;
+  std::memcpy(&bits, &x, 4);
+  const uint32_t rounded = bits + 0x7FFFu + ((bits >> 16) & 1u);
+  const uint32_t out = rounded & 0xFFFF0000u;
+  float r;
+  std::memcpy(&r, &out, 4);
+  return r;
+}
+
+static inline void rr_bf16_parts(float x, float p[3]) {
+  p[0] = rr_bf16_round(x);
+  const float r = x - p[0];
+  p[1] = rr_bf16_round(r);
+  p[2] = r - p[1];
+}
+
+// table-side part index per slot within a 6-slot coefficient group
+// (mirrors _SPLIT_PAIRS in geom/scene.py: (0,0),(0,1),(1,0),(0,2),(1,1),
+// (2,0) -> i = first of each pair)
+static const int RR_SPLIT_I[6] = {0, 0, 1, 0, 1, 2};
+
+void rr_sweep_table(const float* planes_o, int64_t n_tris,
+                    int64_t chunk_size, float* out) {
+  const int64_t T = n_tris, tc = chunk_size, W = 5 * T;
+  const int64_t K = 40;  // geom/scene.py:SWEEP_K
+  std::memset(out, 0, sizeof(float) * K * static_cast<size_t>(W));
+#pragma omp parallel for schedule(static)
+  for (int64_t j = 0; j < T; ++j) {
+    const float* p = planes_o + j * 16;      // 4 plane rows x [m, c]
+    const float n[3] = {p[0], p[1], p[2]};
+    const float ct = p[3];
+    float np3[3][3];                          // n_c split parts
+    for (int c = 0; c < 3; ++c) rr_bf16_parts(n[c], np3[c]);
+    float ctp[3];
+    rr_bf16_parts(ct, ctp);
+    const int64_t base = (j / tc) * 5 * tc + (j % tc);
+    const int64_t col_so = base;
+    const int64_t col_sd = base + tc;
+    // so column: rows 0-17 = n_c^i (vs o parts), 18-20 = ct parts (vs 1)
+    // sd column: rows 21-38 = n_c^i (vs d parts)
+    for (int c = 0; c < 3; ++c) {
+      for (int s = 0; s < 6; ++s) {
+        out[(c * 6 + s) * W + col_so] = np3[c][RR_SPLIT_I[s]];
+        out[(21 + c * 6 + s) * W + col_sd] = np3[c][RR_SPLIT_I[s]];
+      }
+    }
+    for (int s = 0; s < 3; ++s) out[(18 + s) * W + col_so] = ctp[s];
+    for (int k = 0; k < 3; ++k) {
+      const float* m = p + 4 * (k + 1);
+      const int64_t col = base + (2 + k) * tc;
+      const float B[3] = {m[3] * n[0] - ct * m[0],     // c_k n - c m_k
+                          m[3] * n[1] - ct * m[1],
+                          m[3] * n[2] - ct * m[2]};
+      const float A[3] = {m[1] * n[2] - m[2] * n[1],   // m_k x n
+                          m[2] * n[0] - m[0] * n[2],
+                          m[0] * n[1] - m[1] * n[0]};
+      // edge column: rows 0-17 = B_k,c^i (vs d), 18-35 = A_k,c^i (vs w)
+      for (int c = 0; c < 3; ++c) {
+        float Bp[3], Ap[3];
+        rr_bf16_parts(B[c], Bp);
+        rr_bf16_parts(A[c], Ap);
+        for (int s = 0; s < 6; ++s) {
+          out[(c * 6 + s) * W + col] = Bp[RR_SPLIT_I[s]];
+          out[(18 + c * 6 + s) * W + col] = Ap[RR_SPLIT_I[s]];
+        }
+      }
+    }
+  }
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------- OBJ parse

@@ -145,7 +145,8 @@ def simulate_frame_sharded_2d(scene, params, cfg, poses, key, mesh):
         R_sm, t_sm = pose_matrix(poses_loc)
         theta = jax.lax.dynamic_slice_in_dim(azimuth_angles(A), a0, A_loc)
         R_am = R_sm @ rotz(theta)
-        dirs0 = jnp.einsum("aij,sj->asi", R_am, local_dirs)
+        dirs0 = jnp.einsum("aij,sj->asi", R_am, local_dirs,
+                           precision=jax.lax.Precision.HIGHEST)
         sensor_pos = t_sm + jnp.array([0.0, 0.0, cfg.z_offset], jnp.float32)
 
         waves = broadcast_waves(

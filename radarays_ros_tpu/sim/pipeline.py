@@ -315,7 +315,11 @@ def simulate_frame(scene: SceneArrays, params: RadarParams,
     R_sm, t_sm = pose_matrix(poses)            # (A, 3, 3), (A, 3)
     R_as = rotz(azimuth_angles(A))             # (A, 3, 3)
     R_am = R_sm @ R_as
-    dirs0 = jnp.einsum("aij,sj->asi", R_am, local_dirs)
+    # precision=HIGHEST: XLA's DEFAULT contraction precision on TPU
+    # truncates f32 inputs to bf16 — beam directions would quantize at
+    # ~0.4% relative, visibly moving every hit point (trace/planes.py)
+    dirs0 = jnp.einsum("aij,sj->asi", R_am, local_dirs,
+                       precision=jax.lax.Precision.HIGHEST)
     sensor_pos = t_sm + jnp.array([0.0, 0.0, cfg.z_offset], jnp.float32)
 
     waves = broadcast_waves(

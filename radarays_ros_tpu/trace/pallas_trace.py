@@ -8,12 +8,16 @@ BVH traversal:
 
   * Rays ride the LANE axis: the kernel contracts each chunk's packed
     intersection table (geom/scene.py:_sweep_table) against two per-ray
-    feature vectors as (8, 5*Tc)^T x (8, RB) MXU matmuls — 5 output rows
+    feature vectors as (K, 5*Tc)^T x (K, RB) MXU matmuls — 5 output rows
     per triangle ([so; sd] for the support plane + 3 edge numerators in a
     division-free Pluecker form) instead of the naive 8 ([so; sd] for all
-    4 planes), cutting the dominant VMEM output stream 1.6x. Every
-    reduction (nearest-hit min/argmin) is a sublane reduction onto the
-    (1, RB) accumulator — no transposes anywhere.
+    4 planes), keeping the per-visit VMEM output stream minimal. The
+    contraction uses the SPLIT-EXACT layout (K=40): operands pre-split
+    into bf16-exact parts so one default-precision MXU pass is f32-exact
+    (Mosaic's bf16 input truncation silently corrupted hit decisions and
+    fetched object ids on real hardware otherwise). Every reduction
+    (nearest-hit min/argmin) is a sublane reduction onto the (1, RB)
+    accumulator — no transposes anywhere.
   * Per ray block, the median-split leaf chunks are ranked front-to-back by slab-entry
     distance (XLA prep); the in-kernel `lax.while_loop` sweep stops once no
     active lane's best hit can be beaten by any remaining chunk — the BVH
@@ -46,10 +50,33 @@ from jax.experimental.pallas import tpu as pltpu
 
 import numpy as np
 
+from radarays_ros_tpu.geom.scene import SWEEP_K, _SPLIT_PAIRS, _bf16_parts
 from radarays_ros_tpu.trace.planes import _DIR_EPS, _finalize_packed
 
 _INSIDE_EPS = 1e-5  # meters (edge planes are unit-normalized); planes.py:33
 _BIG_IDX = 2**30  # python literal: jnp constants would be captured by the kernel
+
+
+def _sweep_features(o, d):
+    """Per-ray feature matrices (SWEEP_K, R) x2 in the split-exact slot
+    layout of geom/scene.py:_sweep_table (feature part j per slot).
+
+    Built directly rays-on-lanes — the kernel's BlockSpec slices ray
+    columns, so no (B, RB, K) -> (B, K, RB) transpose ever materializes
+    (at 400k rays the two transposes alone cost ~1 ms per bounce)."""
+    R = o.shape[0]
+    w = jnp.cross(o, d)
+
+    def sixrows(v):
+        # 18 rows: per component c, the feature part j per _SPLIT_PAIRS
+        parts = _bf16_parts(v, jnp)
+        return [parts[j][:, c] for c in range(3) for _, j in _SPLIT_PAIRS]
+
+    ones = jnp.ones((R,), jnp.float32)
+    zero = jnp.zeros((R,), jnp.float32)
+    fa = jnp.stack(sixrows(o) + [ones] * 3 + sixrows(d) + [zero], axis=0)
+    fb = jnp.stack(sixrows(d) + sixrows(w) + [zero] * 4, axis=0)
+    return fa, fb
 
 
 def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, fa_ref, fb_ref,
@@ -79,11 +106,14 @@ def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, fa_ref, fb_ref,
 
     Per visit, the intersection test is the 5-row edge-numerator form
     (geom/scene.py:_sweep_table): two skinny matmuls produce (2*Tc, RB)
-    [so; sd] against F_A = [o, 1, d, 0] and (3*Tc, RB) edge numerators
-    N_k against F_B = [d, o x d, 0, 0]; the inside test is the
-    division-free N_k * sd + eps * sd^2 >= 0. Round 2 measured the sweep
-    bound by matmul outputs streaming through VMEM, not FLOPs — 5 output
-    rows per triangle instead of 8 cuts that stream 1.6x.
+    [so; sd] against the split-exact [o, 1, d] features and (3*Tc, RB)
+    edge numerators N_k against the split-exact [d, o x d] features; the
+    inside test is the division-free N_k * sd + eps * sd^2 >= 0. The
+    5-output-rows-per-triangle form (instead of the naive 8) keeps the
+    per-visit VMEM output stream minimal, and the split-exact K=40
+    contraction makes ONE default-precision MXU pass f32-exact (see
+    geom/scene.py:_SPLIT_PAIRS — Mosaic's bf16 input truncation corrupted
+    hits and object ids on hardware before round 3).
     """
     i = pl.program_id(0)
 
@@ -92,8 +122,8 @@ def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, fa_ref, fb_ref,
     tri_ref[:] = jnp.zeros(tri_ref.shape, jnp.float32)
 
     n = nvisit_ref[i, 0]
-    fa = fa_ref[0]        # (8, RB)  [o, 1, d, 0]
-    fb = fb_ref[0]        # (8, RB)  [d, o x d, 0, 0]
+    fa = fa_ref[:]        # (SWEEP_K, RB) split-exact [o, 1, d] parts
+    fb = fb_ref[:]        # (SWEEP_K, RB) split-exact [d, o x d] parts
 
     # the ranked chunk list and its entry distances are too large for SMEM
     # across all ray blocks at big scenes; stream this block's rows in.
@@ -108,7 +138,7 @@ def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, fa_ref, fb_ref,
     cp_e.wait()
 
     def dma(k, slot):
-        # the table lives transposed in HBM as (8, C*5*Tc) so the DMA's
+        # the table lives transposed in HBM as (SWEEP_K, C*5*Tc) so the
         # trailing dimension (the slab, a multiple of 128) satisfies lane
         # tiling. One visit covers a SUPERGROUP of `group` consecutive leaf
         # chunks (one contiguous slab): culling/ranking granularity is
@@ -147,6 +177,16 @@ def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, fa_ref, fb_ref,
                 # transpose needed for the (8, 5*Tc) buffer layout
                 dn = (((0,), (0,)), ((), ()))
                 base = g * 5 * tc
+                # DEFAULT precision here is EXACT by construction: Mosaic
+                # lowers f32 matmuls by truncating inputs to bf16 (which
+                # corrupted hits/objects on hardware until round 3), but
+                # both operands are pre-split into bf16-exact parts with
+                # the product expansion along the K axis
+                # (geom/scene.py:_sweep_table "split-exact" layout), so
+                # the truncation is lossless and ONE pass computes the
+                # f32-accurate contraction — Precision.HIGHEST computes
+                # the same thing with 6 full output-streaming passes,
+                # measured 2.7x slower end-to-end.
                 s_ab = jax.lax.dot_general(
                     tbl_buf[slot, :, base:base + 2 * tc], fa, dn,
                     preferred_element_type=jnp.float32)   # (2Tc, RB)
@@ -233,9 +273,14 @@ def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, fa_ref, fb_ref,
                 for g in range(group):  # tile by g: keep onehot (Tc, RB)
                     onehot = (rows_f + (c * group + g) * tc
                               == best_idx_ref[0, 0, :]).astype(jnp.float32)
+                    # HIGHEST here too: with the default bf16 lowering
+                    # the one-hot contraction TRUNCATES the fetched
+                    # triangle rows — object ids above 256 came back
+                    # rounded to bf16-representable values on hardware
                     contrib = jax.lax.dot_general(
                         tri_buf[slot, :, g * tc:(g + 1) * tc], onehot, dn,
-                        preferred_element_type=jnp.float32)  # (16, RB)
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)  # (16, RB)
                     tri_ref[0] = tri_ref[0] + contrib
                 return 0
 
@@ -472,6 +517,11 @@ def _run_prep_kernel(lo, hi, o_aug, inv_d_t, bud_b, *, Cp: int, RB: int,
                 jax.ShapeDtypeStruct((n_blocks, Cp, 1), jnp.float32),
                 jax.ShapeDtypeStruct((n_blocks, 1, RB), jnp.float32),
             ],
+            # the (1, Cp, 1) entry block pads each row to a full 128-lane
+            # tile; beyond ~4k chunks that exceeds Mosaic's default 16 MB
+            # scoped-vmem budget (v5e VMEM is 128 MB)
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=96 * 1024 * 1024),
             interpret=interpret,
         )(words, lo, hi, o_aug, inv_d_t, bud_b)
         return entry[:, :, 0], t_last
@@ -565,7 +615,7 @@ def _trace_pallas_v3_impl(tbl, tri_t, chunk_lo, chunk_hi, origs, dirs,
                           budget, *, chunk_size: int, ray_block: int,
                           group: int, t_min: float, t_max: float,
                           interpret: bool):
-    """tbl: intersection table in the kernel DMA layout (8, C*5*Tc)
+    """tbl: intersection table in the kernel DMA layout (SWEEP_K, C*5*Tc)
     (geom/scene.py:_sweep_table); tri_t: the (16, C*Tc) packed winner-fetch
     table — all scene-constant, precomputed by Scene.device_arrays
     (geom/scene.py) or derived once in trace_pallas_v3. chunk_lo/hi are
@@ -586,16 +636,12 @@ def _trace_pallas_v3_impl(tbl, tri_t, chunk_lo, chunk_hi, origs, dirs,
     sg_lo = chunk_lo.reshape(C2, group, 3).min(axis=1)
     sg_hi = chunk_hi.reshape(C2, group, 3).max(axis=1)
 
-    ones = jnp.ones((o.shape[0], 1), jnp.float32)
-    zeros = jnp.zeros((o.shape[0], 1), jnp.float32)
-    # per-ray feature vectors for the kernel's two skinny matmuls
-    # (geom/scene.py:_sweep_table): F_A = [o, 1, d, 0], F_B = [d, o x d,
-    # 0, 0] (o x d are the ray line's Pluecker moment coordinates)
-    w = jnp.cross(o, d)
-    fa = jnp.concatenate([o, ones, d, zeros], axis=-1)       # (R', 8)
-    fb = jnp.concatenate([d, w, zeros, zeros], axis=-1)      # (R', 8)
-    fa = fa.reshape(n_blocks, RB, 8).transpose(0, 2, 1)
-    fb = fb.reshape(n_blocks, RB, 8).transpose(0, 2, 1)
+    # per-ray feature matrices for the kernel's two skinny matmuls, in the
+    # split-exact slot layout matching geom/scene.py:_sweep_table:
+    # A-contraction = [o parts, 1, d parts], B-contraction = [d parts,
+    # (o x d) parts] (o x d are the ray line's Pluecker moment coords).
+    # Shaped (SWEEP_K, R'): the BlockSpec slices ray columns per block.
+    fa, fb = _sweep_features(o, d)
 
     # per-block front-to-back SUPERGROUP ranking + entries, via the fused
     # Pallas prep kernel (_prep_kernel): the pure-XLA formulation of this
@@ -619,7 +665,7 @@ def _trace_pallas_v3_impl(tbl, tri_t, chunk_lo, chunk_hi, origs, dirs,
     entry, t_last = _run_prep_kernel(
         jnp.concatenate([sg_lo, far], axis=0),
         jnp.concatenate([sg_hi, far + 1.0], axis=0),
-        fa[:, :3, :], inv_d_t, bud_b,
+        o.reshape(n_blocks, RB, 3).transpose(0, 2, 1), inv_d_t, bud_b,
         Cp=Cp2, RB=RB, n_blocks=n_blocks, t_max=t_max, interpret=interpret)
     entry = entry[:, :C2]                                      # (B, C2)
     # one fused key-value sort; argsort + take_along_axis costs ~8 ms more
@@ -650,10 +696,10 @@ def _trace_pallas_v3_impl(tbl, tri_t, chunk_lo, chunk_hi, origs, dirs,
             pl.BlockSpec(memory_space=pltpu.SMEM),   # nvisit (B, 1)
             pl.BlockSpec(memory_space=pltpu.HBM),    # order (B, Cp)
             pl.BlockSpec(memory_space=pltpu.HBM),    # ranked entries (B, Cp)
-            pl.BlockSpec((1, 8, RB), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),   # F_A
-            pl.BlockSpec((1, 8, RB), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),   # F_B
+            pl.BlockSpec((SWEEP_K, RB), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),   # F_A (split-exact)
+            pl.BlockSpec((SWEEP_K, RB), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),   # F_B (split-exact)
             pl.BlockSpec((1, 1, RB), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),   # t_last
             pl.BlockSpec(memory_space=pltpu.HBM),    # intersection table
@@ -673,7 +719,7 @@ def _trace_pallas_v3_impl(tbl, tri_t, chunk_lo, chunk_hi, origs, dirs,
             pltpu.SMEM((8, Cp // 8), jnp.int32),       # this block's order
             pltpu.SMEM((8, Cp // 8), jnp.float32),     # this block's entries
             pltpu.SemaphoreType.DMA((2,)),             # order/entry DMA
-            pltpu.VMEM((2, 8, group * 5 * tc), jnp.float32),  # tbl dbl buf
+            pltpu.VMEM((2, SWEEP_K, group * 5 * tc), jnp.float32),  # tbl
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((2, 16, group * tc), jnp.float32),     # tri dbl buf
             pltpu.SemaphoreType.DMA((2,)),
@@ -681,6 +727,8 @@ def _trace_pallas_v3_impl(tbl, tri_t, chunk_lo, chunk_hi, origs, dirs,
             # kernel (it drives the winner-fetch one-hot); scratch, not out
             pltpu.VMEM((1, 1, RB), jnp.int32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
     )(nvisit, order, entry_pad, fa, fb, t_last, tbl, tri_t)
 
@@ -714,6 +762,7 @@ def trace_pallas_v3(scene, origs, dirs, t_min: float = 0.0,
                     t_max: float = 1000.0, ray_block: int = 2048,
                     t_budget=None, prep_group: int | None = None,
                     tri_aux=None, sort_rays: bool = False,
+                    two_phase_cap: float | None = None,
                     interpret: bool | None = None, **_ignored):
     """v3 Pallas trace: front-to-back sweep + early termination + HBM DMA.
 
@@ -735,6 +784,19 @@ def trace_pallas_v3(scene, origs, dirs, t_min: float = 0.0,
     stay exact, the reported obj_id on EXACT-distance ties (coplanar
     overlapping surfaces) is visit-order dependent and may differ from the
     unsorted trace (tests tolerate tie-only divergence).
+    two_phase_cap: two-phase requeue for mixed hit/miss ray sets. Phase 1
+    sweeps with budgets capped at this distance [m]; lanes NOT resolved
+    within the cap (the rare deep/miss rays, whose huge sweep range would
+    otherwise stall every block containing one) are compacted to the
+    front by a stable flag-sort and re-traced with their full budget —
+    fully-dead re-trace blocks skip at the nvisit==0 guard, so phase 2
+    costs only ~ceil(unresolved/ray_block) real block sweeps. EXACT: a
+    capped-budget winner within the cap is the global winner (any nearer
+    triangle would lie in a chunk entered within the cap), and phase 2 is
+    a plain full-budget trace for the rest. Off by default (two sweeps of
+    bookkeeping); big win on incoherent/miss-heavy sets, neutral-to-
+    harmful on coherent radar fans whose image-range budgets already
+    bound the sweep.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -742,6 +804,13 @@ def trace_pallas_v3(scene, origs, dirs, t_min: float = 0.0,
     if chunk_size % 8 != 0:
         raise ValueError(
             f"pallas trace needs chunk_size % 8 == 0, got {chunk_size}")
+    if not interpret and (5 * chunk_size) % 128 != 0:
+        # the compiled kernel's HBM slab DMA (width 5*Tc per chunk) must be
+        # 128-lane aligned; Mosaic rejects it otherwise. Interpret mode
+        # (tests) does not enforce this.
+        raise ValueError(
+            "pallas trace on TPU needs chunk_size to be a multiple of 128 "
+            f"(slab width 5*Tc must align to 128 lanes), got {chunk_size}")
     if ray_block % 128 != 0:
         raise ValueError(f"ray_block must be a multiple of 128, got {ray_block}")
     group = prep_group or 1
@@ -809,30 +878,54 @@ def trace_pallas_v3(scene, origs, dirs, t_min: float = 0.0,
     # refinement — the exact gradient conditional on the discrete hit —
     # so beam-width/pose optimization works on the production engine.
     sg = jax.lax.stop_gradient
+
+    def run(o_r, d_r, b_r):
+        return impl(sg(tbl_t), sg(tri_t), sg(chunk_lo), sg(chunk_hi),
+                    o_r, d_r, b_r)
+
+    def permute(key, o_r, d_r, b_r):
+        """Stable multi-operand sort of the ray set by `key` (a permutation
+        gather/scatter of this size would itself run at XLA's ~1 GB/s
+        gather speed). Returns the sorted rays + the inverse index."""
+        iota = jnp.arange(o_r.shape[0], dtype=jnp.int32)
+        (_, ox, oy, oz, dx, dy, dz, b_s, inv) = jax.lax.sort(
+            (key, o_r[:, 0], o_r[:, 1], o_r[:, 2],
+             d_r[:, 0], d_r[:, 1], d_r[:, 2], b_r, iota), num_keys=1)
+        return (jnp.stack([ox, oy, oz], axis=-1),
+                jnp.stack([dx, dy, dz], axis=-1), b_s, inv)
+
+    def unpermute(inv, t_s, tri_s):
+        uns = jax.lax.sort(
+            (inv, t_s) + tuple(tri_s[:, j] for j in range(16)), num_keys=1)
+        return uns[1], jnp.stack(uns[2:], axis=-1)
+
+    def run_phased(o_r, d_r, b_r):
+        if two_phase_cap is None:
+            return run(o_r, d_r, b_r)
+        cap = jnp.float32(two_phase_cap)
+        b1 = jnp.minimum(b_r, cap)
+        t1, tri1 = run(o_r, d_r, b1)
+        # trustworthy iff the phase-1 winner lies within the capped
+        # budget (the kernel's budget prunes CHUNKS, so a returned t may
+        # exceed b1 — a nearer triangle could hide in a pruned chunk)
+        resolved = jnp.isfinite(t1) & (t1 <= b1)
+        live = jnp.logical_not(resolved) & (b_r > cap)
+        b2 = jnp.where(live, b_r, 0.0)
+        # compact the unresolved lanes to the front (stable: preserves
+        # any spatial order within each class), full-budget re-trace —
+        # all-dead blocks skip at the kernel's nvisit==0 guard
+        o2, d2, b2s, inv2 = permute(
+            resolved.astype(jnp.int32), o_r, d_r, b2)
+        t2, tri2 = unpermute(inv2, *run(o2, d2, b2s))
+        return (jnp.where(resolved, t1, t2),
+                jnp.where(resolved[:, None], tri1, tri2))
+
     if sort_rays:
-        # multi-operand sorts both ways (a permutation gather/scatter of
-        # this size would itself run at XLA's ~1 GB/s gather speed)
-        key = _ray_sort_key(sg(origs), sg(dirs))
-        iota = jnp.arange(origs.shape[0], dtype=jnp.int32)
-        (_, ox, oy, oz, dx, dy, dz, bud_s, inv) = jax.lax.sort(
-            (key, sg(origs[:, 0]), sg(origs[:, 1]), sg(origs[:, 2]),
-             sg(dirs[:, 0]), sg(dirs[:, 1]), sg(dirs[:, 2]), sg(budget),
-             iota), num_keys=1)
-        o_s = jnp.stack([ox, oy, oz], axis=-1)
-        d_s = jnp.stack([dx, dy, dz], axis=-1)
-        best_t, tri = impl(
-            sg(tbl_t), sg(tri_t), sg(chunk_lo), sg(chunk_hi),
-            o_s, d_s, bud_s,
-        )
-        unsorted = jax.lax.sort(
-            (inv, best_t) + tuple(tri[:, j] for j in range(16)),
-            num_keys=1)
-        best_t = unsorted[1]
-        tri = jnp.stack(unsorted[2:], axis=-1)
+        o_s, d_s, bud_s, inv = permute(
+            _ray_sort_key(sg(origs), sg(dirs)),
+            sg(origs), sg(dirs), sg(budget))
+        best_t, tri = unpermute(inv, *run_phased(o_s, d_s, bud_s))
     else:
-        best_t, tri = impl(
-            sg(tbl_t), sg(tri_t), sg(chunk_lo), sg(chunk_hi),
-            sg(origs), sg(dirs), sg(budget),
-        )
+        best_t, tri = run_phased(sg(origs), sg(dirs), sg(budget))
     return _finalize_packed(origs, dirs, sg(best_t), sg(tri),
                             with_aux=tri_aux is not None)

@@ -109,9 +109,18 @@ def _plane_hits(o_aug, d, po_T, pd_T, t_min, t_max):
 
     o_aug: (R, 4); d: (R, 3); po_T: (4, 4*Tc); pd_T: (3, 4*Tc).
     Returns (t, hit) of shape (R, Tc).
+
+    precision=HIGHEST is load-bearing: XLA's DEFAULT matmul precision on
+    TPU truncates f32 inputs to bf16, which quantizes t by ~0.4% relative
+    — more than enough to reorder nearby surfaces and break the
+    engines-match-brute exactness contract on real hardware (brute's
+    elementwise Moller-Trumbore and the Mosaic kernel's matmuls are both
+    f32-exact). CPU/GPU backends are unaffected (f32 either way).
     """
-    so = jnp.dot(o_aug, po_T, preferred_element_type=jnp.float32)
-    sd = jnp.dot(d, pd_T, preferred_element_type=jnp.float32)
+    hi = jax.lax.Precision.HIGHEST
+    so = jnp.dot(o_aug, po_T, preferred_element_type=jnp.float32,
+                 precision=hi)
+    sd = jnp.dot(d, pd_T, preferred_element_type=jnp.float32, precision=hi)
     R = so.shape[0]
     so = so.reshape(R, -1, 4)
     sd = sd.reshape(R, -1, 4)

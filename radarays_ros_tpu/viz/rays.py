@@ -44,7 +44,8 @@ def _initial_dirs(cfg: RadarModelConfig, params: RadarParams, yaw: float,
         local = sample_cone_local(
             jax.random.PRNGKey(seed), params.beam_width, cfg.n_samples,
             cfg.beam_sample_dist, cfg.beam_sample_dist_normal_p_in_cone)
-        return jnp.einsum("ij,sj->si", rotz(jnp.float32(yaw)), local)
+        return jnp.einsum("ij,sj->si", rotz(jnp.float32(yaw)), local,
+                          precision=jax.lax.Precision.HIGHEST)
     raise ValueError(f"unknown beam mode {mode!r}")
 
 
@@ -63,7 +64,8 @@ def trace_debug_rays(scene_arrays, params: RadarParams, cfg: RadarModelConfig,
     pose = jnp.asarray(pose, jnp.float32)
     R_sm, t_sm = pose_matrix(pose)
     dirs0 = jnp.einsum("ij,sj->si", R_sm, _initial_dirs(
-        cfg, params, yaw, mode, n_fan, seed))
+        cfg, params, yaw, mode, n_fan, seed),
+        precision=jax.lax.Precision.HIGHEST)
     N = dirs0.shape[0]
 
     waves = broadcast_waves(

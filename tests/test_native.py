@@ -118,3 +118,16 @@ def test_median_split_order_quality(tris):
         return float(np.prod(ext, axis=1).mean())
 
     assert mean_leaf_volume(o_c) <= mean_leaf_volume(o_np) * 1.10
+
+
+def test_sweep_table_parity(tris):
+    from radarays_ros_tpu.geom.scene import _sweep_table, _triangle_planes
+    from radarays_ros_tpu.native import builder
+
+    _, po, _ = _triangle_planes(tris)
+    t1 = builder.sweep_table(po, 8)
+    t2 = _sweep_table(po, 8)
+    assert t1.shape == t2.shape
+    # bit-exact: the split-exact parts must agree between the C++ and
+    # NumPy builders (the Makefile pins -ffp-contract=off for this)
+    np.testing.assert_array_equal(t1, t2)

@@ -377,3 +377,26 @@ def test_full_frame_prep_group_parity(box_scene, simple_materials):
                          identity_pose(), key)
     np.testing.assert_array_equal(np.asarray(ref.image_u8),
                                   np.asarray(got.image_u8))
+
+
+def test_update_config_resample_triggers(box_scene, simple_materials):
+    """Pin the dynamic-reconfigure resample semantics (Radar.cpp:199-206):
+    beam-shape keys draw a fresh cone key; other keys do not; the next
+    simulate() builds the cone from the NEW config with that key."""
+    params = RadarParams.make(simple_materials, [1, 2], beam_width_deg=2.0)
+    radar = Radar(box_scene, params, _small_cfg())
+
+    key0 = radar._cone_key
+    radar.update_config(n_cells=64)            # not a beam-shape key
+    assert (radar._cone_key == key0).all()
+    radar.update_config(n_samples=8)           # beam-shape key -> resample
+    assert not (radar._cone_key == key0).all()
+    assert radar.cfg.n_samples == 8            # new config applied
+    img = radar.simulate_image(identity_pose())
+    assert img.shape == (64, 16)
+
+    # same-value reconfigure of a beam key still re-rolls (the reference
+    # sets m_resample on any callback touching those fields)
+    key1 = radar._cone_key
+    radar.update_config(n_samples=8)
+    assert not (radar._cone_key == key1).all()

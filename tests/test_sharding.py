@@ -135,7 +135,8 @@ def test_shard_scene_arrays_layout(setup):
     tc = int(st.chunk_size)
     per = st.chunk_aabb_lo.shape[1]
     assert st.verts.shape == (n, per * tc, 3, 3)
-    assert st.sweep_table_t.shape == (n, 8, per * 5 * tc)
+    from radarays_ros_tpu.geom.scene import SWEEP_K
+    assert st.sweep_table_t.shape == (n, SWEEP_K, per * 5 * tc)
     assert st.tri_table_t.shape == (n, 16, per * tc)
     # the first shard's leading chunks are the original leading chunks
     np.testing.assert_array_equal(
