@@ -55,12 +55,15 @@ def parity(n_buildings=16600, n_rays=131072):
     o_j, d_j = jnp.asarray(o), jnp.asarray(d)
 
     @jax.jit
-    def both(o_j, d_j):
+    def both(sa, o_j, d_j):
+        # the scene is an ARGUMENT, not a closure — closed-over scene
+        # tables get inlined into the compile payload (hundreds of MB;
+        # the relay rejects the request with HTTP 413)
         rp = trace(sa, o_j, d_j, engine="pallas3", ray_block=2048)
         rc = trace(sa, o_j, d_j, engine="culled", k_chunks=None)
         return (rp.hit, rp.t, rp.obj_id, rc.hit, rc.t, rc.obj_id)
 
-    ph, pt, po, ch, ct, co = [np.asarray(x) for x in both(o_j, d_j)]
+    ph, pt, po, ch, ct, co = [np.asarray(x) for x in both(sa, o_j, d_j)]
     common = ph & ch
     out = {
         "stage": "parity",
@@ -90,7 +93,9 @@ def trace_marginal(n_buildings=83000, n_rays=409600, k=5):
 
     def chained(reps):
         @jax.jit
-        def run(o_j, d_j):
+        def run(sa, o_j, d_j):
+            # scene as ARGUMENT (not closure): closed-over tables are
+            # inlined into the compile payload and the relay 413s
             acc = jnp.float32(0.0)
             oo = o_j
             for _ in range(reps):
@@ -103,14 +108,14 @@ def trace_marginal(n_buildings=83000, n_rays=409600, k=5):
         return run
 
     run1, runk = chained(1), chained(k)
-    float(run1(o_j, d_j)); float(runk(o_j, d_j))  # compile+warm
+    float(run1(sa, o_j, d_j)); float(runk(sa, o_j, d_j))  # compile+warm
 
     def t_of(run):
         ts = []
         for i in range(5):
             oo = o_j + np.float32(i) * 1e-6
             t0 = time.perf_counter()
-            float(run(oo, d_j))
+            float(run(sa, oo, d_j))
             ts.append(time.perf_counter() - t0)
         return float(np.median(ts))
 

@@ -40,11 +40,13 @@ class SceneArrays(NamedTuple):
     # the fly, e.g. for hand-built SceneArrays).
     sweep_table_t: Optional[np.ndarray] = None   # (SWEEP_K, 5T)
     # Packed per-triangle fetch table for the pallas3 in-kernel hit fetch,
-    # (16, T): rows 0-8 = v0,e1,e2; 9-11 = unit normal; 12 = obj_id as f32
-    # (-1 for padding triangles); 13-15 zero. The sweep kernel contracts it
-    # against a one-hot of each lane's winning triangle (an MXU matmul per
-    # visited chunk), replacing XLA row gathers that run at ~1.5 GB/s.
-    tri_table_t: Optional[np.ndarray] = None  # (16, T)
+    # (48, T): 16 semantic rows (0-8 = v0,e1,e2; 9-11 = unit normal;
+    # 12 = obj_id as f32, -1 for padding; 13 = aux; 14-15 zero) stored as
+    # three bf16-exact part blocks (split-exact, see _tri_fetch_table).
+    # The sweep kernel contracts it against a one-hot of each lane's
+    # winning triangle (one MXU matmul per visited chunk), replacing XLA
+    # row gathers that run at ~1.5 GB/s.
+    tri_table_t: Optional[np.ndarray] = None  # (48, T)
 
     @property
     def n_triangles(self) -> int:
@@ -111,7 +113,8 @@ def _triangle_planes(verts: np.ndarray):
 # exact in f32 accumulation, and K grows 8 -> 40 (still one MXU pass:
 # K <= 128 fits the systolic depth), so the output is written ONCE.
 _SPLIT_PAIRS = ((0, 0), (0, 1), (1, 0), (0, 2), (1, 1), (2, 0))
-SWEEP_K = 40  # 39 used slots (18 o/w + 3 one + 18 d), padded to 8-multiple
+SWEEP_K = 40    # slab height: edge columns use 36 slots, padded to 40
+SWEEP_K_A = 24  # so columns: 18 o-part + 3 one slots, padded to 24
 
 
 def _bf16_parts(x, xp=np):
@@ -156,15 +159,19 @@ def _sweep_table(planes_o, chunk_size: int, xp=np):
     computes the f32-exact contraction. Slot layout (table part index i
     per _SPLIT_PAIRS order):
 
-      A-contraction rows (so/sd columns), K = 40:
-        rows  0-17  n_c^i vs o_c^j     (3 comps x 6 pairs)   [so]
-        rows 18-20  c^0,c^1,c^2 vs 1                          [so]
-        rows 21-38  n_c^i vs d_c^j                            [sd]
-        row     39  zero pad
-      B-contraction rows (edge columns), K = 40:
-        rows  0-17  B_k,c^i vs d_c^j                          [N_k]
-        rows 18-35  A_k,c^i vs (o x d)_c^j                    [N_k]
+      so columns (contracted against F_A = [o parts, 1], K = SWEEP_K_A):
+        rows  0-17  n_c^i vs o_c^j     (3 comps x 6 pairs)
+        rows 18-20  c^0,c^1,c^2 vs 1
+        rows 21-23  zero pad (to 24)
+      sd columns (contracted against F_B rows 0-23 — the d parts):
+        rows  0-17  n_c^i vs d_c^j
+        rows 18-39  zero (F_B's w-part rows contribute nothing)
+      edge columns (contracted against F_B = [d parts, w parts], K = 40):
+        rows  0-17  B_k,c^i vs d_c^j
+        rows 18-35  A_k,c^i vs (o x d)_c^j
         rows 36-39  zero pad
+    Splitting so (K=24) from sd (K=24, riding F_B's d rows) instead of
+    one K=40 A-contraction cuts the sweep's MXU work ~16%.
 
     Generic over numpy/jnp (`xp`): the host scene build and the tracer's
     fallback for hand-built SceneArrays share this one implementation.
@@ -186,14 +193,12 @@ def _sweep_table(planes_o, chunk_size: int, xp=np):
         return xp.stack([parts[i] for i, _ in _SPLIT_PAIRS], axis=-1)
 
     K = SWEEP_K
-    Tz = (T,)
     n6 = six(n).reshape(T, 18)                     # n_c^i, c-major
     c3 = xp.stack(_bf16_parts(c_t[:, 0], xp), -1)  # (T, 3)
-    zpad = xp.zeros(Tz + (1,), xp.float32)
     so_col = xp.concatenate(
-        [n6, c3, xp.zeros((T, 18), xp.float32), zpad], axis=-1)  # (T, 40)
+        [n6, c3, xp.zeros((T, 19), xp.float32)], axis=-1)        # (T, 40)
     sd_col = xp.concatenate(
-        [xp.zeros((T, 21), xp.float32), n6, zpad], axis=-1)      # (T, 40)
+        [n6, xp.zeros((T, 22), xp.float32)], axis=-1)            # (T, 40)
     B6 = six(B).reshape(T, 3, 18)                  # B_k,c^i
     A6 = six(A).reshape(T, 3, 18)
     e_cols = xp.concatenate(
@@ -239,18 +244,25 @@ def _median_split_order(centers: np.ndarray, chunk_size: int) -> np.ndarray:
 
 
 def _tri_fetch_table(verts, normals, obj_ids, xp=np):
-    """(16, T) packed triangle data for the in-kernel winner fetch
-    (see SceneArrays.tri_table_t). obj ids are stored as exact f32;
-    INVALID/padding triangles store -1. Real obj ids >= 2^24 (not exactly
-    representable in f32) are rejected at scene build (Scene.__post_init__)
-    rather than silently degraded here. Generic over numpy/jnp (`xp`)."""
+    """(48, T) packed triangle data for the in-kernel winner fetch
+    (see SceneArrays.tri_table_t), SPLIT-EXACT: the 16 semantic rows
+    [v0, e1, e2, normal, obj_id_f32, aux, pad, pad] are stored as three
+    bf16-exact part blocks (rows 0-15 = part0, 16-31 = part1,
+    32-47 = part2; the kernel one-hot-contracts all 48 rows in ONE
+    default-precision MXU pass and sums the part blocks — Mosaic's bf16
+    input truncation otherwise ROUNDS the fetched values: object ids came
+    back off by up to 64 on hardware). obj ids are exact f32; INVALID/
+    padding triangles store -1. Real obj ids >= 2^24 are rejected at
+    scene build (Scene.__post_init__) rather than silently degraded
+    here. Generic over numpy/jnp (`xp`)."""
     v0 = verts[:, 0]
     obj = xp.where((obj_ids >= 0) & (obj_ids < 2**24), obj_ids, -1)
-    out = xp.concatenate([
+    rows = xp.concatenate([
         v0.T, (verts[:, 1] - v0).T, (verts[:, 2] - v0).T, normals.T,
         obj.astype(xp.float32)[None],
         xp.zeros((3, verts.shape[0]), xp.float32),
     ], axis=0)
+    out = xp.concatenate(_bf16_parts(rows, xp), axis=0)
     return (np.ascontiguousarray(out, np.float32) if xp is np
             else out.astype(xp.float32))
 

@@ -198,11 +198,11 @@ void rr_sweep_table(const float* planes_o, int64_t n_tris,
     const int64_t col_so = base;
     const int64_t col_sd = base + tc;
     // so column: rows 0-17 = n_c^i (vs o parts), 18-20 = ct parts (vs 1)
-    // sd column: rows 21-38 = n_c^i (vs d parts)
+    // sd column: rows 0-17 = n_c^i (vs F_B's d-part rows)
     for (int c = 0; c < 3; ++c) {
       for (int s = 0; s < 6; ++s) {
         out[(c * 6 + s) * W + col_so] = np3[c][RR_SPLIT_I[s]];
-        out[(21 + c * 6 + s) * W + col_sd] = np3[c][RR_SPLIT_I[s]];
+        out[(c * 6 + s) * W + col_sd] = np3[c][RR_SPLIT_I[s]];
       }
     }
     for (int s = 0; s < 3; ++s) out[(18 + s) * W + col_so] = ctp[s];

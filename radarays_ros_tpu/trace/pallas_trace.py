@@ -50,7 +50,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 import numpy as np
 
-from radarays_ros_tpu.geom.scene import SWEEP_K, _SPLIT_PAIRS, _bf16_parts
+from radarays_ros_tpu.geom.scene import (SWEEP_K, SWEEP_K_A,
+                                         _SPLIT_PAIRS, _bf16_parts)
 from radarays_ros_tpu.trace.planes import _DIR_EPS, _finalize_packed
 
 _INSIDE_EPS = 1e-5  # meters (edge planes are unit-normalized); planes.py:33
@@ -58,8 +59,9 @@ _BIG_IDX = 2**30  # python literal: jnp constants would be captured by the kerne
 
 
 def _sweep_features(o, d):
-    """Per-ray feature matrices (SWEEP_K, R) x2 in the split-exact slot
-    layout of geom/scene.py:_sweep_table (feature part j per slot).
+    """Per-ray feature matrices F_A (SWEEP_K_A, R) and F_B (SWEEP_K, R)
+    in the split-exact slot layout of geom/scene.py:_sweep_table
+    (feature part j per slot; sd columns ride F_B's d-part rows).
 
     Built directly rays-on-lanes — the kernel's BlockSpec slices ray
     columns, so no (B, RB, K) -> (B, K, RB) transpose ever materializes
@@ -74,7 +76,7 @@ def _sweep_features(o, d):
 
     ones = jnp.ones((R,), jnp.float32)
     zero = jnp.zeros((R,), jnp.float32)
-    fa = jnp.stack(sixrows(o) + [ones] * 3 + sixrows(d) + [zero], axis=0)
+    fa = jnp.stack(sixrows(o) + [ones] * 3 + [zero] * 3, axis=0)
     fb = jnp.stack(sixrows(d) + sixrows(w) + [zero] * 4, axis=0)
     return fa, fb
 
@@ -122,8 +124,8 @@ def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, fa_ref, fb_ref,
     tri_ref[:] = jnp.zeros(tri_ref.shape, jnp.float32)
 
     n = nvisit_ref[i, 0]
-    fa = fa_ref[:]        # (SWEEP_K, RB) split-exact [o, 1, d] parts
-    fb = fb_ref[:]        # (SWEEP_K, RB) split-exact [d, o x d] parts
+    fa = fa_ref[:]        # (SWEEP_K_A, RB) split-exact [o parts, 1]
+    fb = fb_ref[:]        # (SWEEP_K, RB) split-exact [d parts, o x d parts]
 
     # the ranked chunk list and its entry distances are too large for SMEM
     # across all ray blocks at big scenes; stream this block's rows in.
@@ -187,13 +189,16 @@ def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, fa_ref, fb_ref,
                 # f32-accurate contraction — Precision.HIGHEST computes
                 # the same thing with 6 full output-streaming passes,
                 # measured 2.7x slower end-to-end.
-                s_ab = jax.lax.dot_general(
-                    tbl_buf[slot, :, base:base + 2 * tc], fa, dn,
-                    preferred_element_type=jnp.float32)   # (2Tc, RB)
+                so_s = jax.lax.dot_general(
+                    tbl_buf[slot, 0:SWEEP_K_A, base:base + tc], fa, dn,
+                    preferred_element_type=jnp.float32)   # (Tc, RB)
+                sd_s = jax.lax.dot_general(
+                    tbl_buf[slot, 0:SWEEP_K_A, base + tc:base + 2 * tc],
+                    fb[0:SWEEP_K_A], dn,
+                    preferred_element_type=jnp.float32)   # (Tc, RB)
                 s_n = jax.lax.dot_general(
                     tbl_buf[slot, :, base + 2 * tc:base + 5 * tc], fb, dn,
                     preferred_element_type=jnp.float32)   # (3Tc, RB)
-                so_s, sd_s = s_ab[0:tc], s_ab[tc:2 * tc]
                 # IEEE semantics replace the denominator guard: sd == 0
                 # gives t = +-inf (rejected by the range test) or NaN
                 # (so == 0 too; every comparison rejects NaN)
@@ -273,15 +278,17 @@ def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, fa_ref, fb_ref,
                 for g in range(group):  # tile by g: keep onehot (Tc, RB)
                     onehot = (rows_f + (c * group + g) * tc
                               == best_idx_ref[0, 0, :]).astype(jnp.float32)
-                    # HIGHEST here too: with the default bf16 lowering
-                    # the one-hot contraction TRUNCATES the fetched
-                    # triangle rows — object ids above 256 came back
-                    # rounded to bf16-representable values on hardware
-                    contrib = jax.lax.dot_general(
+                    # the (48, T) tri table is stored split-exact (three
+                    # bf16-exact part blocks, geom/scene.py
+                    # :_tri_fetch_table), so ONE default-precision pass
+                    # fetches exactly; summing the part blocks
+                    # reconstructs the f32 rows bit-for-bit (the default
+                    # bf16 lowering otherwise ROUNDED fetched object ids)
+                    c48 = jax.lax.dot_general(
                         tri_buf[slot, :, g * tc:(g + 1) * tc], onehot, dn,
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)  # (16, RB)
-                    tri_ref[0] = tri_ref[0] + contrib
+                        preferred_element_type=jnp.float32)  # (48, RB)
+                    tri_ref[0] = (tri_ref[0] + c48[0:16] + c48[16:32]
+                                  + c48[32:48])
                 return 0
 
             jax.lax.fori_loop(0, k_final, fbody, 0)
@@ -696,7 +703,7 @@ def _trace_pallas_v3_impl(tbl, tri_t, chunk_lo, chunk_hi, origs, dirs,
             pl.BlockSpec(memory_space=pltpu.SMEM),   # nvisit (B, 1)
             pl.BlockSpec(memory_space=pltpu.HBM),    # order (B, Cp)
             pl.BlockSpec(memory_space=pltpu.HBM),    # ranked entries (B, Cp)
-            pl.BlockSpec((SWEEP_K, RB), lambda i: (0, i),
+            pl.BlockSpec((SWEEP_K_A, RB), lambda i: (0, i),
                          memory_space=pltpu.VMEM),   # F_A (split-exact)
             pl.BlockSpec((SWEEP_K, RB), lambda i: (0, i),
                          memory_space=pltpu.VMEM),   # F_B (split-exact)
@@ -721,7 +728,7 @@ def _trace_pallas_v3_impl(tbl, tri_t, chunk_lo, chunk_hi, origs, dirs,
             pltpu.SemaphoreType.DMA((2,)),             # order/entry DMA
             pltpu.VMEM((2, SWEEP_K, group * 5 * tc), jnp.float32),  # tbl
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((2, 16, group * tc), jnp.float32),     # tri dbl buf
+            pltpu.VMEM((2, 48, group * tc), jnp.float32),     # tri dbl buf
             pltpu.SemaphoreType.DMA((2,)),
             # the winning GLOBAL triangle index is only needed inside the
             # kernel (it drives the winner-fetch one-hot); scratch, not out
@@ -856,16 +863,18 @@ def trace_pallas_v3(scene, origs, dirs, t_min: float = 0.0,
             scene.verts, scene.normals, scene.obj_ids, xp=xp))
         if pad_c:
             tri_t = jnp.concatenate(
-                [tri_t, jnp.zeros((16, pad_c * chunk_size), jnp.float32)],
+                [tri_t, jnp.zeros((48, pad_c * chunk_size), jnp.float32)],
                 axis=1)
     if tri_aux is not None:
         # caller-provided per-triangle values ride the kernel's winner-fetch
-        # pass as row 13 of the table (zeros otherwise)
+        # pass as semantic row 13 of the split table (zeros otherwise) —
+        # one bf16-exact part per part block
         aux_row = jnp.asarray(tri_aux, jnp.float32)
         if pad_c:
             aux_row = jnp.concatenate(
                 [aux_row, jnp.zeros((pad_c * chunk_size,), jnp.float32)])
-        tri_t = tri_t.at[13, :].set(aux_row)
+        a0, a1, a2 = _bf16_parts(aux_row, jnp)
+        tri_t = tri_t.at[13, :].set(a0).at[29, :].set(a1).at[45, :].set(a2)
     if pad_c:
         far = jnp.full((pad_c, 3), 1e9, jnp.float32)
         chunk_lo = jnp.concatenate([chunk_lo, far], axis=0)

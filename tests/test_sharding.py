@@ -137,7 +137,7 @@ def test_shard_scene_arrays_layout(setup):
     assert st.verts.shape == (n, per * tc, 3, 3)
     from radarays_ros_tpu.geom.scene import SWEEP_K
     assert st.sweep_table_t.shape == (n, SWEEP_K, per * 5 * tc)
-    assert st.tri_table_t.shape == (n, 16, per * tc)
+    assert st.tri_table_t.shape == (n, 48, per * tc)
     # the first shard's leading chunks are the original leading chunks
     np.testing.assert_array_equal(
         st.verts.reshape(-1, 3, 3)[: scene.verts.shape[0] // 2],
