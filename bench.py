@@ -69,9 +69,16 @@ def build_benchmark(n_buildings: int, extent: float = 300.0,
         trace_ray_block=2048,
         trace_prep_group=prep_group,
         draw_method="pallas",
+        trace_aux_baked=True,  # material map baked below (sim/radar.py does
+        #   the same); skips the per-jit-call (T,) gather + table copy
     )
     key = jax.random.PRNGKey(0)
-    return scene.device_arrays(), params, cfg, key
+    from radarays_ros_tpu.geom.scene import bake_tri_aux
+
+    sa = scene.device_arrays()
+    row = np.asarray(object_materials, np.float32)[
+        np.clip(np.asarray(sa.obj_ids), 0, len(object_materials) - 1)]
+    return bake_tri_aux(sa, row), params, cfg, key
 
 
 def measure_scale(n_buildings: int, n_iters: int = 7, batch: int = 20,

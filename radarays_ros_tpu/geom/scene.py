@@ -267,6 +267,29 @@ def _tri_fetch_table(verts, normals, obj_ids, xp=np):
             else out.astype(xp.float32))
 
 
+def bake_tri_aux(sa: SceneArrays, tri_aux) -> SceneArrays:
+    """Return `sa` with `tri_aux` baked into the fetch table's aux slot
+    (semantic row 13 of tri_table_t, split-exact parts in rows 13/29/45).
+
+    The per-triangle aux row — in the radar pipeline, the object->material
+    map gathered per triangle (sim/pipeline.py:_bounce) — is material-load
+    constant, but building it inside the jitted frame costs a (T,) XLA
+    gather (~7 ms per 20-frame batch at 1M triangles; gathers run at
+    0.6-2.5 GB/s on TPU) plus a full copy of the (48, T) table to insert
+    the three part rows (~190 MB at 1M). Baking it here ON HOST at
+    material-load time (sim/radar.py:_bake_aux) removes both;
+    trace(tri_aux="baked") then uses the table as-is."""
+    if sa.tri_table_t is None:
+        raise ValueError("bake_tri_aux needs a precomputed tri_table_t")
+    tbl = np.array(sa.tri_table_t, np.float32, copy=True)
+    row = np.ascontiguousarray(np.asarray(tri_aux), np.float32)
+    if row.shape != (tbl.shape[1],):
+        raise ValueError(
+            f"tri_aux must be shaped (T,) = ({tbl.shape[1]},), got {row.shape}")
+    tbl[13], tbl[29], tbl[45] = _bf16_parts(row, np)
+    return sa._replace(tri_table_t=tbl)
+
+
 @dataclasses.dataclass
 class Scene:
     """Host-side scene: triangle soup + per-triangle object ids.

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from radarays_ros_tpu.image.perlin import perlin_affine_rows, perlin_noise
 
@@ -112,8 +113,8 @@ def draw_signals(times, strengths, valid, *, n_cells: int, resolution,
     ok = valid & (cell >= 0) & (cell < n_cells)
 
     if denoise_weights is not None:
-        w = jnp.asarray(denoise_weights, jnp.float32)
-        W = w.shape[0]
+        w_host = np.asarray(denoise_weights, np.float32)
+        W = w_host.shape[0]
         if method == "sort":
             point = _rowwise_bin_sum(cell, strengths, ok, n_cells)
         elif method == "pallas":
@@ -128,17 +129,17 @@ def draw_signals(times, strengths, valid, *, n_cells: int, resolution,
                 jnp.arange(A, dtype=jnp.int32)[:, None], (A, N))
             point = jnp.zeros((A, n_cells), jnp.float32).at[
                 az, jnp.where(ok, cell, 0)].add(jnp.where(ok, strengths, 0.0))
-        # correlate so out[cell + k - mode] += strength * w[k]
-        # precision=HIGHEST: the TPU default truncates f32 conv inputs
-        # to bf16, which would perturb the splat weights ~0.4% and break
-        # bin-for-bin parity with the scalar oracle on hardware
-        img = jax.lax.conv_general_dilated(
-            point[:, None, :],
-            w[::-1][None, None, :],
-            window_strides=(1,),
-            padding=[(W - 1 - denoise_mode, denoise_mode)],
-            precision=jax.lax.Precision.HIGHEST,
-        )[:, 0, :]
+        # correlate so out[cell + k - mode] += strength * w[k], as W
+        # static shifted multiply-adds on the VPU. Each tap product is a
+        # plain f32 elementwise multiply — exact on hardware, unlike the
+        # MXU conv whose DEFAULT precision truncates inputs to bf16 and
+        # whose HIGHEST repair ran six accumulation passes (12.7 ms per
+        # 20-frame batch vs ~1 ms for this form; docs/PERFORMANCE.md).
+        padded = jnp.pad(point, ((0, 0), (W - 1, W - 1)))
+        img = jnp.zeros_like(point)
+        for k in range(W):
+            off = (W - 1) - (k - denoise_mode)
+            img = img + float(w_host[k]) * padded[:, off:off + n_cells]
         # reference never writes range cell 0 in denoise mode (glob_id > 0)
         img = img.at[:, 0].set(0.0)
     else:

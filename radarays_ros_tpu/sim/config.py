@@ -173,6 +173,13 @@ class RadarModelConfig:
     # per-block chunk-entry table stays inside the kernel's VMEM scope
     # (chunk_size stays 256 — the sweep's matmul tile).
     trace_prep_group: int = 1
+    # The scene's tri_table_t already carries the object->material map baked
+    # into its aux slot (geom/scene.py:bake_tri_aux) — the pipeline then
+    # passes tri_aux="baked" instead of gathering the (T,) map per jit call
+    # (~7 ms/20-frame batch at 1M tris) and copying the (48, T) table.
+    # Managed by sim/radar.py:_bake_aux, which re-bakes whenever materials
+    # change; set it yourself only if you baked the table yourself.
+    trace_aux_baked: bool = False
 
     def denoiser(self) -> Tuple[Optional[np.ndarray], int]:
         """Use-time denoise kernel + mode (see image/denoise.py)."""

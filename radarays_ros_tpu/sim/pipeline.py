@@ -116,9 +116,15 @@ def _bounce(cfg: RadarModelConfig, params: RadarParams, scene: SceneArrays,
     # frame batch and the bounce loop — obj_ids and the map are invariant).
     tri_aux = None
     if engine == "pallas3":
-        tri_aux = params.object_materials.astype(jnp.float32)[
-            jnp.clip(jnp.asarray(scene.obj_ids), 0,
-                     params.object_materials.shape[0] - 1)]
+        if cfg.trace_aux_baked:
+            # scene.tri_table_t already carries the map in its aux slot
+            # (geom/scene.py:bake_tri_aux, managed by sim/radar.py) — skip
+            # the gather AND the in-jit table copy it forces downstream
+            tri_aux = "baked"
+        else:
+            tri_aux = params.object_materials.astype(jnp.float32)[
+                jnp.clip(jnp.asarray(scene.obj_ids), 0,
+                         params.object_materials.shape[0] - 1)]
     res = trace(
         scene, waves.orig, waves.dir,
         engine=engine,

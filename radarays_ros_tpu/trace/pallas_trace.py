@@ -852,10 +852,23 @@ def trace_pallas_v3(scene, origs, dirs, t_min: float = 0.0,
                 [planes_o, jnp.zeros((pad_c * 4 * chunk_size, 4),
                                      jnp.float32)], axis=0)
         tbl_t = _sweep_table(planes_o, chunk_size, xp=jnp)
+    aux_baked = isinstance(tri_aux, str)
+    if aux_baked and tri_aux != "baked":
+        raise ValueError(f"tri_aux must be an array or 'baked', got {tri_aux!r}")
     tri_t = getattr(scene, "tri_table_t", None)
-    if tri_t is not None and pad_c == 0:
+    if tri_t is not None:
         tri_t = jnp.asarray(tri_t)
+        if pad_c:
+            # pad the triangle axis with never-fetched zeros (the matching
+            # pad chunks have zero planes and are never entered)
+            tri_t = jnp.concatenate(
+                [tri_t, jnp.zeros((48, pad_c * chunk_size), jnp.float32)],
+                axis=1)
     else:
+        if aux_baked:
+            raise ValueError(
+                "tri_aux='baked' needs a precomputed tri_table_t "
+                "(geom/scene.py:bake_tri_aux)")
         from radarays_ros_tpu.geom.scene import _tri_fetch_table
 
         xp = np if isinstance(scene.verts, np.ndarray) else jnp
@@ -865,10 +878,13 @@ def trace_pallas_v3(scene, origs, dirs, t_min: float = 0.0,
             tri_t = jnp.concatenate(
                 [tri_t, jnp.zeros((48, pad_c * chunk_size), jnp.float32)],
                 axis=1)
-    if tri_aux is not None:
+    if tri_aux is not None and not aux_baked:
         # caller-provided per-triangle values ride the kernel's winner-fetch
         # pass as semantic row 13 of the split table (zeros otherwise) —
-        # one bf16-exact part per part block
+        # one bf16-exact part per part block. When the aux row is
+        # material-load constant, bake it into the table instead
+        # (geom/scene.py:bake_tri_aux + tri_aux="baked"): this in-jit path
+        # costs a (T,) gather upstream plus a full-table copy here.
         aux_row = jnp.asarray(tri_aux, jnp.float32)
         if pad_c:
             aux_row = jnp.concatenate(

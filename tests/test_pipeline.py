@@ -379,6 +379,52 @@ def test_full_frame_prep_group_parity(box_scene, simple_materials):
                                   np.asarray(got.image_u8))
 
 
+def test_full_frame_baked_aux_parity(box_scene, simple_materials):
+    """cfg.trace_aux_baked (object->material map baked into the fetch
+    table at material-load time instead of gathered per jit call) keeps
+    frames bit-identical, and Radar manages the bake automatically —
+    including re-baking when load_materials changes the map."""
+    import jax
+
+    from radarays_ros_tpu.geom.scene import bake_tri_aux
+    from radarays_ros_tpu.sim.pipeline import simulate_frame
+    from radarays_ros_tpu.sim.radar import Radar
+    from radarays_ros_tpu.utils.transforms import identity_pose
+
+    params = RadarParams.make(simple_materials, [1, 2], beam_width_deg=4.0)
+    cfg = RadarModelConfig(
+        n_angles=16, n_cells=128, n_samples=8, n_reflections=3,
+        resolution=0.25, signal_denoising=1,
+        signal_denoising_triangular_width=5,
+        signal_denoising_triangular_mode=0.4,
+        ambient_noise=1, trace_engine="pallas3", trace_ray_block=128)
+    sa = box_scene.device_arrays()
+    key = jax.random.PRNGKey(11)
+
+    om = np.asarray(params.object_materials)
+    row = om.astype(np.float32)[
+        np.clip(np.asarray(sa.obj_ids), 0, om.shape[0] - 1)]
+    ref = simulate_frame(sa, params, cfg, identity_pose(), key)
+    got = simulate_frame(bake_tri_aux(sa, row), params,
+                         cfg.replace(trace_aux_baked=True),
+                         identity_pose(), key)
+    np.testing.assert_array_equal(np.asarray(ref.image_u8),
+                                  np.asarray(got.image_u8))
+
+    # Radar bakes on construction and re-bakes on load_materials
+    radar = Radar(box_scene, params=params, cfg=cfg)
+    assert radar.cfg.trace_aux_baked
+    tbl = np.asarray(radar._scene_arrays.tri_table_t)
+    np.testing.assert_array_equal(tbl[13] + tbl[29] + tbl[45], row)
+    entries = [dict(velocity=0.3, ambient=1.0, diffuse=0.0, specular=1.0)
+               for _ in range(4)]
+    radar.load_materials(entries, [3, 2])
+    tbl2 = np.asarray(radar._scene_arrays.tri_table_t)
+    row2 = np.asarray([3, 2], np.float32)[
+        np.clip(np.asarray(sa.obj_ids), 0, 1)]
+    np.testing.assert_array_equal(tbl2[13] + tbl2[29] + tbl2[45], row2)
+
+
 def test_update_config_resample_triggers(box_scene, simple_materials):
     """Pin the dynamic-reconfigure resample semantics (Radar.cpp:199-206):
     beam-shape keys draw a fresh cone key; other keys do not; the next

@@ -395,6 +395,44 @@ def test_pallas_v3_nondividing_group_and_odd_ray_block(rng):
                                np.asarray(ref.t)[hit], rtol=1e-4, atol=1e-4)
 
 
+def test_pallas_v3_baked_aux_matches_array_aux(rng):
+    """tri_aux='baked' (the aux row pre-baked into tri_table_t at
+    material-load time, geom/scene.py:bake_tri_aux) is bit-identical to
+    passing the (T,) array per call — including on the pad_c path
+    (non-dividing prep_group), where the baked table is zero-padded."""
+    from radarays_ros_tpu.geom.primitives import make_urban_scene
+    from radarays_ros_tpu.geom.scene import Scene, bake_tri_aux
+
+    parts, names = make_urban_scene(n_buildings=220, extent=120.0, seed=9)
+    scene = Scene.compose(parts, names, chunk_size=8)
+    sa = scene.device_arrays()
+    aux = np.arange(sa.verts.shape[0], dtype=np.float32) % 97.0
+    sab = bake_tri_aux(sa, aux)
+
+    n = 256
+    az = rng.uniform(0, 2 * np.pi, n)
+    el = rng.uniform(-0.2, 0.4, n)
+    d = jnp.asarray(np.stack([np.cos(el) * np.cos(az),
+                              np.cos(el) * np.sin(az), np.sin(el)], -1),
+                    jnp.float32)
+    o = jnp.broadcast_to(jnp.asarray([0, 0, 2.0], jnp.float32), (n, 3))
+
+    for kw in (dict(), dict(prep_group=5)):
+        ref = trace(sa, o, d, engine="pallas3", ray_block=128,
+                    tri_aux=jnp.asarray(aux), **kw)
+        got = trace(sab, o, d, engine="pallas3", ray_block=128,
+                    tri_aux="baked", **kw)
+        assert bool(np.asarray(ref.hit).any())
+        for field in ("hit", "t", "obj_id", "aux"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(ref, field)),
+                np.asarray(getattr(got, field)), err_msg=field)
+
+    with pytest.raises(ValueError, match="precomputed tri_table_t"):
+        trace(sa._replace(tri_table_t=None), o, d, engine="pallas3",
+              ray_block=128, tri_aux="baked")
+
+
 def test_culled_k_chunks_cap_warns(box_scene, rng):
     """Capping the culled sweep below n_chunks opts out of exactness and
     must say so loudly (the engines-match-brute contract holds uncapped)."""
