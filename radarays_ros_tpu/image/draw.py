@@ -115,31 +115,38 @@ def draw_signals(times, strengths, valid, *, n_cells: int, resolution,
     if denoise_weights is not None:
         w_host = np.asarray(denoise_weights, np.float32)
         W = w_host.shape[0]
-        if method == "sort":
-            point = _rowwise_bin_sum(cell, strengths, ok, n_cells)
-        elif method == "pallas":
+        if method == "pallas":
+            # the kernel fuses the W correlation taps while the binned
+            # image is still VMEM-resident (image/pallas_draw.py) —
+            # bit-identical to the bin + shift-add below
             from radarays_ros_tpu.image.pallas_draw import bin_signals_pallas
 
-            point = bin_signals_pallas(
+            img = bin_signals_pallas(
                 jnp.where(ok, cell, n_cells), jnp.where(ok, strengths, 0.0),
                 n_cells=n_cells, combine="sum",
+                weights=tuple(float(x) for x in w_host),
+                w_mode=denoise_mode,
                 interpret=jax.default_backend() != "tpu")
         else:
-            az = jnp.broadcast_to(
-                jnp.arange(A, dtype=jnp.int32)[:, None], (A, N))
-            point = jnp.zeros((A, n_cells), jnp.float32).at[
-                az, jnp.where(ok, cell, 0)].add(jnp.where(ok, strengths, 0.0))
-        # correlate so out[cell + k - mode] += strength * w[k], as W
-        # static shifted multiply-adds on the VPU. Each tap product is a
-        # plain f32 elementwise multiply — exact on hardware, unlike the
-        # MXU conv whose DEFAULT precision truncates inputs to bf16 and
-        # whose HIGHEST repair ran six accumulation passes (12.7 ms per
-        # 20-frame batch vs ~1 ms for this form; docs/PERFORMANCE.md).
-        padded = jnp.pad(point, ((0, 0), (W - 1, W - 1)))
-        img = jnp.zeros_like(point)
-        for k in range(W):
-            off = (W - 1) - (k - denoise_mode)
-            img = img + float(w_host[k]) * padded[:, off:off + n_cells]
+            if method == "sort":
+                point = _rowwise_bin_sum(cell, strengths, ok, n_cells)
+            else:
+                az = jnp.broadcast_to(
+                    jnp.arange(A, dtype=jnp.int32)[:, None], (A, N))
+                point = jnp.zeros((A, n_cells), jnp.float32).at[
+                    az, jnp.where(ok, cell, 0)].add(
+                        jnp.where(ok, strengths, 0.0))
+            # correlate so out[cell + k - mode] += strength * w[k], as W
+            # static shifted multiply-adds on the VPU. Each tap product is
+            # a plain f32 elementwise multiply — exact on hardware, unlike
+            # the MXU conv whose DEFAULT precision truncates inputs to bf16
+            # and whose HIGHEST repair ran six accumulation passes (12.7 ms
+            # per 20-frame batch; docs/PERFORMANCE.md).
+            padded = jnp.pad(point, ((0, 0), (W - 1, W - 1)))
+            img = jnp.zeros_like(point)
+            for k in range(W):
+                off = (W - 1) - (k - denoise_mode)
+                img = img + float(w_host[k]) * padded[:, off:off + n_cells]
         # reference never writes range cell 0 in denoise mode (glob_id > 0)
         img = img.at[:, 0].set(0.0)
     else:

@@ -135,6 +135,9 @@ def _bounce(cfg: RadarModelConfig, params: RadarParams, scene: SceneArrays,
         ray_block=cfg.trace_ray_block,
         **({"prep_group": cfg.trace_prep_group}
            if engine == "pallas3" and cfg.trace_prep_group != 1 else {}),
+        **({"two_phase_cap": cfg.trace_two_phase_cap}
+           if engine == "pallas3" and cfg.trace_two_phase_cap is not None
+           else {}),
         **({"tri_chunk": cfg.trace_tri_chunk} if engine == "mxu" else {}),
         **({"k_chunks": cfg.trace_k_chunks} if engine == "culled" else {}),
     )

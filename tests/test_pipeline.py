@@ -425,6 +425,30 @@ def test_full_frame_baked_aux_parity(box_scene, simple_materials):
     np.testing.assert_array_equal(tbl2[13] + tbl2[29] + tbl2[45], row2)
 
 
+def test_full_frame_two_phase_cap_parity(box_scene, simple_materials):
+    """cfg.trace_two_phase_cap (the sparse-scene requeue knob) plumbs
+    through the pipeline and keeps frames bit-identical — the requeue is
+    exact, so the cap may only change speed, never pixels."""
+    import jax
+
+    from radarays_ros_tpu.sim.pipeline import simulate_frame
+    from radarays_ros_tpu.utils.transforms import identity_pose
+
+    params = RadarParams.make(simple_materials, [1, 2], beam_width_deg=4.0)
+    base = RadarModelConfig(
+        n_angles=8, n_cells=96, n_samples=6, n_reflections=2,
+        resolution=0.3, signal_denoising=0, ambient_noise=0,
+        trace_engine="pallas3", trace_ray_block=128)
+    sa = box_scene.device_arrays()
+    key = jax.random.PRNGKey(3)
+
+    ref = simulate_frame(sa, params, base, identity_pose(), key)
+    got = simulate_frame(sa, params, base.replace(trace_two_phase_cap=4.0),
+                         identity_pose(), key)
+    np.testing.assert_array_equal(np.asarray(ref.image_u8),
+                                  np.asarray(got.image_u8))
+
+
 def test_update_config_resample_triggers(box_scene, simple_materials):
     """Pin the dynamic-reconfigure resample semantics (Radar.cpp:199-206):
     beam-shape keys draw a fresh cone key; other keys do not; the next
