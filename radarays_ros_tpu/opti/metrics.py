@@ -61,7 +61,7 @@ def _joint_hist(a, b, bins: int, data_range: float, sigma: float = 1.0):
     centers = jnp.linspace(0.0, data_range, bins)
     aw = jax.nn.softmax(-((a.reshape(-1, 1) - centers) ** 2) / (2 * sigma**2), axis=-1)
     bw = jax.nn.softmax(-((b.reshape(-1, 1) - centers) ** 2) / (2 * sigma**2), axis=-1)
-    h = aw.T @ bw
+    h = jnp.matmul(aw.T, bw, precision=jax.lax.Precision.HIGHEST)
     return h / jnp.sum(h)
 
 

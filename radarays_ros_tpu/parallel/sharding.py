@@ -144,7 +144,8 @@ def simulate_frame_sharded_2d(scene, params, cfg, poses, key, mesh):
 
         R_sm, t_sm = pose_matrix(poses_loc)
         theta = jax.lax.dynamic_slice_in_dim(azimuth_angles(A), a0, A_loc)
-        R_am = R_sm @ rotz(theta)
+        R_am = jnp.matmul(R_sm, rotz(theta),
+                          precision=jax.lax.Precision.HIGHEST)
         dirs0 = jnp.einsum("aij,sj->asi", R_am, local_dirs,
                            precision=jax.lax.Precision.HIGHEST)
         sensor_pos = t_sm + jnp.array([0.0, 0.0, cfg.z_offset], jnp.float32)

@@ -323,7 +323,10 @@ def simulate_frame(scene: SceneArrays, params: RadarParams,
     # beam frame -> map frame: R_am = R_sm @ Rz(theta_a) (RadarCPU.cpp:198-209)
     R_sm, t_sm = pose_matrix(poses)            # (A, 3, 3), (A, 3)
     R_as = rotz(azimuth_angles(A))             # (A, 3, 3)
-    R_am = R_sm @ R_as
+    # HIGHEST: the default TPU matmul precision truncates the f32
+    # rotation entries to bf16 (~0.4% relative) before the product —
+    # the same defect class the beam einsum below pins
+    R_am = jnp.matmul(R_sm, R_as, precision=jax.lax.Precision.HIGHEST)
     # precision=HIGHEST: XLA's DEFAULT contraction precision on TPU
     # truncates f32 inputs to bf16 — beam directions would quantize at
     # ~0.4% relative, visibly moving every hit point (trace/planes.py)
