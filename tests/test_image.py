@@ -304,6 +304,46 @@ def test_perlin_affine_rows_matches_general():
         np.testing.assert_allclose(ref, fast, atol=1e-4)
 
 
+def test_pallas_fused_denoise_vjp_matches_autodiff(rng):
+    """The fused-tap kernel's custom VJP (correlation adjoint + one-hot
+    gather) equals jax autodiff of the unfused composition (bin, then the
+    XLA shift-add) — material optimization differentiates through the
+    production draw path."""
+    import jax
+    import jax.numpy as jnp
+
+    from radarays_ros_tpu.image.denoise import build_denoiser
+    from radarays_ros_tpu.image.pallas_draw import bin_signals_pallas
+
+    w, mode = build_denoiser(1, 7, 0.4)
+    wt = tuple(float(x) for x in w)
+    A, N, C = 12, 16, 40
+    W = len(w)
+    cell = jnp.asarray(rng.integers(0, C + 1, (A, N)).astype(np.int32))
+    s = jnp.asarray(rng.uniform(0.1, 1, (A, N)).astype(np.float32))
+    cot = jnp.asarray(rng.uniform(-1, 1, (A, C)).astype(np.float32))
+
+    def fused(ss):
+        img = bin_signals_pallas(cell, ss, n_cells=C, combine="sum",
+                                 weights=wt, w_mode=mode, interpret=True)
+        return jnp.sum(img * cot)
+
+    def unfused(ss):
+        point = bin_signals_pallas(cell, ss, n_cells=C, combine="sum",
+                                   interpret=True)
+        padded = jnp.pad(point, ((0, 0), (W - 1, W - 1)))
+        img = jnp.zeros_like(point)
+        for k in range(W):
+            off = (W - 1) - (k - mode)
+            img = img + float(w[k]) * padded[:, off:off + C]
+        return jnp.sum(img * cot)
+
+    np.testing.assert_allclose(float(fused(s)), float(unfused(s)), rtol=1e-6)
+    gf = np.asarray(jax.grad(fused)(s))
+    gu = np.asarray(jax.grad(unfused)(s))
+    np.testing.assert_allclose(gf, gu, rtol=1e-5, atol=1e-6)
+
+
 def test_pallas_draw_multiple_lane_groups(rng):
     """Azimuth counts above the lane width exercise the multi-step grid."""
     import jax.numpy as jnp
