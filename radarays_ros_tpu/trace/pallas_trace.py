@@ -248,11 +248,19 @@ def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, fa_ref, fb_ref,
 
         # ---- winner fetch: pull each lane's winning-triangle data out of
         # the packed table with one one-hot MXU contraction per VISITED
-        # chunk (winners can only come from visited chunks). This replaces
-        # the XLA row-gathers of verts/normals/obj ids, which run at
-        # ~1.5 GB/s and dominated the post-trace cost (docs/PERFORMANCE.md).
-        # Miss lanes (best_idx 0, best_t inf) may match triangle 0 when its
-        # chunk was visited; _finalize masks them by isfinite(best_t).
+        # chunk that actually HOLDS some lane's winner (winners can only
+        # come from visited chunks, and — round 3 — concentrate in a
+        # handful of them: the per-visit any() test on the (RB,) winner
+        # indices is ~16 vector ops, the skipped contraction + adds are
+        # ~100x that). The DMA stays unconditional and double-buffered:
+        # slab traffic is negligible and gating it would serialize the
+        # pipeline (measured +2 ms/trace as a blocking per-chunk copy).
+        # This replaces the XLA row-gathers of verts/normals/obj ids,
+        # which run at ~1.5 GB/s and dominated the post-trace cost
+        # (docs/PERFORMANCE.md). Miss lanes (best_idx 0, best_t inf) are
+        # masked out of the needed test (no spurious fetch of chunk 0);
+        # their accumulated rows are garbage either way and _finalize
+        # masks them by isfinite(best_t).
         def tri_dma(k, slot):
             c = order_ref[k // W, k % W]
             return pltpu.make_async_copy(
@@ -264,6 +272,8 @@ def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, fa_ref, fb_ref,
             tri_dma(0, 0).start()
             rows_f = jax.lax.broadcasted_iota(
                 jnp.int32, (tc, fa.shape[1]), 0)
+            bi_all = best_idx_ref[0, 0, :]
+            live = best_t_ref[0, 0, :] < jnp.inf
 
             def fbody(k, _):
                 slot = jax.lax.rem(k, 2)
@@ -274,21 +284,28 @@ def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, fa_ref, fb_ref,
 
                 tri_dma(k, slot).wait()
                 c = order_ref[k // W, k % W]
-                dn = (((1,), (0,)), ((), ()))
-                for g in range(group):  # tile by g: keep onehot (Tc, RB)
-                    onehot = (rows_f + (c * group + g) * tc
-                              == best_idx_ref[0, 0, :]).astype(jnp.float32)
-                    # the (48, T) tri table is stored split-exact (three
-                    # bf16-exact part blocks, geom/scene.py
-                    # :_tri_fetch_table), so ONE default-precision pass
-                    # fetches exactly; summing the part blocks
-                    # reconstructs the f32 rows bit-for-bit (the default
-                    # bf16 lowering otherwise ROUNDED fetched object ids)
-                    c48 = jax.lax.dot_general(
-                        tri_buf[slot, :, g * tc:(g + 1) * tc], onehot, dn,
-                        preferred_element_type=jnp.float32)  # (48, RB)
-                    tri_ref[0] = (tri_ref[0] + c48[0:16] + c48[16:32]
-                                  + c48[32:48])
+                lo_t = c * group * tc
+                inrange = ((bi_all >= lo_t) & (bi_all < lo_t + group * tc)
+                           & live)
+
+                @pl.when(jnp.any(inrange))
+                def _acc():
+                    dn = (((1,), (0,)), ((), ()))
+                    for g in range(group):  # tile by g: onehot (Tc, RB)
+                        onehot = (rows_f + (c * group + g) * tc
+                                  == bi_all).astype(jnp.float32)
+                        # the (48, T) tri table is stored split-exact
+                        # (three bf16-exact part blocks, geom/scene.py
+                        # :_tri_fetch_table), so ONE default-precision
+                        # pass fetches exactly; summing the part blocks
+                        # reconstructs the f32 rows bit-for-bit (the
+                        # default bf16 lowering otherwise ROUNDED fetched
+                        # object ids)
+                        c48 = jax.lax.dot_general(
+                            tri_buf[slot, :, g * tc:(g + 1) * tc], onehot,
+                            dn, preferred_element_type=jnp.float32)
+                        tri_ref[0] = (tri_ref[0] + c48[0:16] + c48[16:32]
+                                      + c48[32:48])
                 return 0
 
             jax.lax.fori_loop(0, k_final, fbody, 0)
