@@ -292,7 +292,8 @@ def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, fa_ref, fb_ref,
                 def _acc():
                     dn = (((1,), (0,)), ((), ()))
                     for g in range(group):  # tile by g: onehot (Tc, RB)
-                        onehot = (rows_f + (c * group + g) * tc
+                        gbase = (c * group + g) * tc
+                        onehot = (rows_f + gbase
                                   == bi_all).astype(jnp.float32)
                         # the (48, T) tri table is stored split-exact
                         # (three bf16-exact part blocks, geom/scene.py
@@ -304,8 +305,19 @@ def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, fa_ref, fb_ref,
                         c48 = jax.lax.dot_general(
                             tri_buf[slot, :, g * tc:(g + 1) * tc], onehot,
                             dn, preferred_element_type=jnp.float32)
-                        tri_ref[0] = (tri_ref[0] + c48[0:16] + c48[16:32]
-                                      + c48[32:48])
+                        # SELECT by each lane's winner-in-this-chunk, not
+                        # accumulate-across-visits: same cost, and the
+                        # fetch stays correct under DUPLICATE chunk visits
+                        # (an accumulating fetch adds the winner's row once
+                        # per visit — the round-3 paired-sweep experiment
+                        # hit exactly that: doubled triangle rows, ~2x
+                        # refined t, hits silently lost past their budgets)
+                        sel = (bi_all >= gbase) & (bi_all < gbase + tc) \
+                            & live
+                        tri_ref[0] = jnp.where(
+                            sel[None, :],
+                            c48[0:16] + c48[16:32] + c48[32:48],
+                            tri_ref[0])
                 return 0
 
             jax.lax.fori_loop(0, k_final, fbody, 0)
