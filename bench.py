@@ -82,18 +82,26 @@ def build_benchmark(n_buildings: int, extent: float = 300.0,
 
 
 def measure_scale(n_buildings: int, n_iters: int = 7, batch: int = 20,
-                  extent: float = 300.0, prep_group: int = 1):
-    """Fenced frame throughput at one scene scale.
+                  extent: float = 300.0, prep_group: int = 1,
+                  n_stream: int = 10):
+    """Frame throughput at one scene scale, two fetch-forced protocols.
 
     NOTE on methodology: through the axon relay, block_until_ready() does
     NOT reliably fence device execution — timing loops that only dispatch
-    report fantasy numbers. Every measured iteration therefore FETCHES a
-    scalar checksum of the frame batch, which forces real execution.
-    Returns (best_hz, trimmed_median_hz, n_triangles): the best batch is
-    the cleanest device-throughput estimate under relay stalls; the
-    trimmed median (drop the best and worst batch) is the robust companion
-    (docs/PERFORMANCE.md). Batches of 20 frames keep the one unavoidable
-    fetch round-trip (~30-100 ms) under ~10% of the batch.
+    report fantasy numbers. Both protocols therefore FETCH scalar
+    checksums of every frame batch, which forces real execution:
+
+      * fenced: one fetch per timed batch (per-batch latency; the fetch
+        round-trip, ~30 ms, is inside every measurement). best = cleanest
+        single-batch estimate; trimmed median = robust companion.
+      * streaming (the production free-run pattern): dispatch n_stream
+        batches back-to-back with varied inputs (relay dedup needs
+        identical dispatches), then fetch ALL checksums — the device
+        executes contiguously and the round-trip amortizes over the run.
+        This is the sustained frames/sec a consumer draining the
+        simulator sees, and the headline metric.
+
+    Returns (streaming_hz, best_hz, trimmed_median_hz, n_triangles, cfg).
     """
     import jax
     import jax.numpy as jnp
@@ -126,7 +134,18 @@ def measure_scale(n_buildings: int, n_iters: int = 7, batch: int = 20,
     best_hz = batch / times[0]
     trimmed = times[1:-1] if len(times) > 2 else times
     tmed_hz = batch / float(np.median(trimmed))
-    return best_hz, tmed_hz, int(scene.verts.shape[0]), cfg
+
+    # streaming: dispatch-ahead, then force everything with the fetches
+    t0 = time.perf_counter()
+    outs = []
+    for i in range(n_stream):
+        kb = jax.random.split(jax.random.fold_in(key, 1000 + i), batch)
+        outs.append(run_batch(scene, params, poses, kb))
+    checksum = sum(int(o) for o in outs)  # fetch all -> every batch ran
+    assert checksum != 0
+    streaming_hz = batch * n_stream / (time.perf_counter() - t0)
+
+    return streaming_hz, best_hz, tmed_hz, int(scene.verts.shape[0]), cfg
 
 
 def main():
@@ -141,16 +160,19 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     # headline: the ~1M-triangle KAIST-scale scene
-    big_best, big_tmed, big_tris, cfg = measure_scale(n_buildings=83000)
+    big_stream, big_best, big_tmed, big_tris, cfg = measure_scale(
+        n_buildings=83000)
     # companion: the ~10k-triangle round-1 scene (regression guard)
-    small_best, small_tmed, small_tris, _ = measure_scale(n_buildings=800)
+    small_stream, small_best, small_tmed, small_tris, _ = measure_scale(
+        n_buildings=800)
     # companion: 10x the flagship scale (~10M triangles; prep_group=4 keeps
     # the chunk-entry table inside the kernel VMEM scope). Guarded: a
     # failure here must not take down the headline measurement.
     try:
-        huge_best, huge_tmed, huge_tris, _ = measure_scale(
+        huge_stream, huge_best, huge_tmed, huge_tris, _ = measure_scale(
             n_buildings=830000, extent=950.0, prep_group=4)
-        huge = {"best_hz": round(huge_best, 3),
+        huge = {"sustained_hz": round(huge_stream, 3),
+                "best_hz": round(huge_best, 3),
                 "trimmed_median_hz": round(huge_tmed, 3),
                 "n_triangles": huge_tris}
     except Exception as e:  # pragma: no cover - defensive for the driver
@@ -159,24 +181,31 @@ def main():
     rays_per_frame = cfg.n_angles * cfg.n_samples * cfg.n_reflections
     print(json.dumps({
         "metric": "radar_frames_per_sec_400x3424_kaist_preset_1M_tris",
-        "value": round(big_best, 3),
+        "value": round(big_stream, 3),
         "unit": "Hz",
-        "vs_baseline": round(big_best / 4.0, 3),
+        "vs_baseline": round(big_stream / 4.0, 3),
         "extra": {
-            "trimmed_median_hz": round(big_tmed, 3),
+            "protocol": "sustained streaming throughput: 10 batches of 20 "
+                        "frames dispatched back-to-back (varied inputs), "
+                        "ALL checksums fetched at the end — every batch's "
+                        "execution is forced; the relay round-trip "
+                        "amortizes over the run (the free-run consumer "
+                        "pattern). Fenced per-batch numbers alongside.",
+            "fenced_best_hz": round(big_best, 3),
+            "fenced_trimmed_median_hz": round(big_tmed, 3),
             "n_triangles": big_tris,
             "small_scene": {
+                "sustained_hz": round(small_stream, 3),
                 "best_hz": round(small_best, 3),
                 "trimmed_median_hz": round(small_tmed, 3),
                 "n_triangles": small_tris,
             },
             "scale_10m": huge,
-            "mrays_per_sec": round(big_best * rays_per_frame / 1e6, 2),
+            "mrays_per_sec": round(big_stream * rays_per_frame / 1e6, 2),
             "rays_per_frame": rays_per_frame,
             "device": str(jax.devices()[0]),
             "trace_engine": cfg.trace_engine,
             "batch": 20,
-            "fenced": "checksum-fetch per batch; best + trimmed median of 7",
         },
     }))
 

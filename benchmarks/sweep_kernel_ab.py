@@ -133,8 +133,9 @@ def trace_marginal(n_buildings=83000, n_rays=409600, k=5):
 def frame(n_buildings=83000):
     from bench import measure_scale
 
-    best, tmed, tris, _cfg = measure_scale(n_buildings=n_buildings)
-    out = {"stage": "frame_1m", "best_hz": round(best, 2),
+    stream, best, tmed, tris, _cfg = measure_scale(n_buildings=n_buildings)
+    out = {"stage": "frame_1m", "sustained_hz": round(stream, 2),
+           "best_hz": round(best, 2),
            "trimmed_median_hz": round(tmed, 2), "n_triangles": tris}
     print(json.dumps(out), flush=True)
     return out

@@ -280,6 +280,148 @@ def simulate_frame_scene_sharded(scene_arrays, params, cfg, poses, key, mesh,
     return res
 
 
+def make_mesh_az_scene(n_az: Optional[int] = None, n_scene: int = 2,
+                       axis_names=("az", "scene")) -> Mesh:
+    """2-D mesh composing azimuth data-parallelism with scene sharding."""
+    devs = jax.devices()
+    n_az = n_az or len(devs) // n_scene
+    return Mesh(np.array(devs[: n_az * n_scene]).reshape(n_az, n_scene),
+                axis_names)
+
+
+def simulate_frame_sharded_az_scene(scene_arrays, params, cfg, poses, key,
+                                    mesh):
+    """One frame sharded over azimuth (data-parallel) x scene (chunk
+    tables partitioned) — the composed layout the scene-sharding cost
+    model names (docs/PERFORMANCE.md): frame latency scales with the az
+    axis while per-chip scene memory falls as 1/n_scene, so beyond-HBM
+    meshes run at multi-chip latency instead of being pinned to the
+    scene axis alone.
+
+    Each (azimuth wedge, scene wedge) shard cone-samples its wedge's rays
+    (full cone drawn from the same key, wedge sliced by azimuth index —
+    bit-identical PRNG to the unsharded frame) and traces them against
+    its 1/n_scene of the chunk tables; per-bounce winners merge across
+    the scene axis INSIDE the trace (cfg.trace_scene_axis ->
+    trace/api.py:combine_trace_shards), after which shading/drawing run
+    on scene-axis-replicated data — no further scene collectives. Output
+    is bit-identical to the unsharded frame up to trace tie-breaks
+    (parity-tested on the CPU mesh).
+
+    scene_arrays: UNSHARDED host SceneArrays (this function shards them).
+    poses: (n_angles, 7) or (7,); n_angles % mesh az size == 0.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from radarays_ros_tpu.geom.scene import shard_scene_arrays
+    from radarays_ros_tpu.image.draw import (
+        apply_ambient_noise, draw_signals, normalize_to_u8)
+    from radarays_ros_tpu.sim.pipeline import FrameResult, collect_signals
+    from radarays_ros_tpu.utils.transforms import (
+        azimuth_angles, pose_matrix, rotz)
+    from radarays_ros_tpu.wave.cone import sample_cone_local
+    from radarays_ros_tpu.wave.types import (
+        broadcast_waves, make_start_wave_attrs)
+
+    A = cfg.n_angles
+    S = cfg.n_samples
+    na = mesh.shape["az"]
+    ns = mesh.shape["scene"]
+    assert A % na == 0, (A, dict(mesh.shape))
+    poses = jnp.asarray(poses, jnp.float32)
+    if poses.ndim == 1:
+        poses = jnp.broadcast_to(poses[None, :], (A, 7))
+    if isinstance(key, (tuple, list)):
+        key_cone, key_noise = key
+    else:
+        key_cone, key_noise = jax.random.split(jnp.asarray(key))
+
+    stacked = shard_scene_arrays(scene_arrays, ns)
+    specs = scene_shard_specs(stacked, "scene")
+    cfg_l = cfg.replace(trace_scene_axis="scene")
+    weights, mode = cfg.denoiser()
+
+    def local(scene_loc, params, poses_loc, key_cone, key_noise):
+        # strip the size-1 shard axis shard_map leaves on each array leaf
+        scene_loc = jax.tree_util.tree_map(
+            lambda x: x[0] if np.ndim(x) >= 1 else x, scene_loc)
+        ai = jax.lax.axis_index("az")
+        A_loc = poses_loc.shape[0]
+        a0 = ai * A_loc
+
+        local_dirs = sample_cone_local(
+            key_cone, params.beam_width, S, cfg.beam_sample_dist,
+            cfg.beam_sample_dist_normal_p_in_cone)
+
+        R_sm, t_sm = pose_matrix(poses_loc)
+        theta = jax.lax.dynamic_slice_in_dim(azimuth_angles(A), a0, A_loc)
+        R_am = jnp.matmul(R_sm, rotz(theta),
+                          precision=jax.lax.Precision.HIGHEST)
+        dirs0 = jnp.einsum("aij,sj->asi", R_am, local_dirs,
+                           precision=jax.lax.Precision.HIGHEST)
+        sensor_pos = t_sm + jnp.array([0.0, 0.0, cfg.z_offset], jnp.float32)
+
+        waves = broadcast_waves(
+            sensor_pos[:, None, :], dirs0,
+            make_start_wave_attrs(material_id=cfg.material_id_air),
+            (A_loc, S))
+
+        # per-bounce winner merges across "scene" happen inside here
+        times, strengths, valid = collect_signals(scene_loc, params, cfg_l,
+                                                  waves, sensor_pos)
+        img, _ = draw_signals(
+            times, strengths, valid, n_cells=cfg.n_cells,
+            resolution=cfg.resolution, denoise_weights=weights,
+            denoise_mode=mode, method=cfg.draw_method)
+
+        max_val = jnp.max(img, axis=-1)
+        img = img * cfg.energy_max
+        cols = (cfg.scroll_image + a0 + jnp.arange(A_loc, dtype=jnp.int32)) % A
+        img = apply_ambient_noise(
+            img, max_val, cols, key_noise,
+            mode=cfg.ambient_noise, resolution=cfg.resolution,
+            at_signal_0=cfg.ambient_noise_at_signal_0,
+            at_signal_1=cfg.ambient_noise_at_signal_1,
+            energy_max=cfg.ambient_noise_energy_max,
+            energy_min=cfg.ambient_noise_energy_min,
+            energy_loss=cfg.ambient_noise_energy_loss,
+            perlin_scale_low=cfg.ambient_noise_perlin_scale_low,
+            perlin_scale_high=cfg.ambient_noise_perlin_scale_high,
+            perlin_p_low=cfg.ambient_noise_perlin_p_low,
+            rows_slice=(a0, A))
+        u8_rows = normalize_to_u8(img, max_val, cfg.signal_max)
+        return u8_rows, img, max_val
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(specs, P(), P("az", None), P(), P()),
+        out_specs=(P("az", None), P("az", None), P("az",)),
+    )
+
+    @partial(jax.jit, out_shardings=(
+        NamedSharding(mesh, P(None, "az")),
+        NamedSharding(mesh, P("az", None)),
+        NamedSharding(mesh, P("az")),
+    ))
+    def run(stacked, params, poses, key_cone, key_noise):
+        u8_rows, img, max_val = fn(stacked, params, poses, key_cone,
+                                   key_noise)
+        # scroll placement crosses azimuth shards: do it globally (GSPMD)
+        cols = (cfg.scroll_image + jnp.arange(A, dtype=jnp.int32)) % A
+        image_u8 = jnp.zeros_like(u8_rows).at[cols].set(u8_rows).T
+        return image_u8, img, max_val
+
+    stacked = jax.device_put(
+        stacked, jax.tree_util.tree_map(
+            lambda s: NamedSharding(mesh, s), specs))
+    repl = NamedSharding(mesh, P())
+    params = jax.device_put(params, repl)
+    poses = jax.device_put(poses, NamedSharding(mesh, P("az", None)))
+    image_u8, img, max_val = run(stacked, params, poses, key_cone,
+                                 key_noise)
+    return FrameResult(image_u8=image_u8, image_float=img, max_val=max_val)
+
+
 def psnr_loss(image_float, target_float, signal_max: float):
     """Negative PSNR against a target float image (both (A, n_cells))."""
     mse = jnp.mean((image_float - target_float) ** 2)

@@ -205,3 +205,39 @@ def test_scene_sharded_trace_combine_exact(setup, rng):
                                   np.asarray(got.t)[hit])
     np.testing.assert_array_equal(np.asarray(ref.obj_id),
                                   np.asarray(got.obj_id))
+
+
+def test_az_scene_composed_frame_matches_single_device(setup):
+    """Composed az x scene layout (azimuth DP over one mesh axis, chunk
+    tables partitioned over the other) must reproduce the unsharded
+    frame: the per-bounce winner combine rides the scene axis inside the
+    trace, and azimuth wedges are pure data parallelism."""
+    from radarays_ros_tpu.parallel.sharding import (
+        make_mesh_az_scene, simulate_frame_sharded_az_scene)
+
+    scene, params, cfg, poses, key = setup
+    mesh = make_mesh_az_scene(n_az=len(jax.devices()) // 2, n_scene=2)
+    ref = simulate_frame(scene, params, cfg, poses, key)
+    got = simulate_frame_sharded_az_scene(scene, params, cfg, poses, key,
+                                          mesh)
+    np.testing.assert_allclose(np.asarray(ref.image_float),
+                               np.asarray(got.image_float),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ref.max_val),
+                               np.asarray(got.max_val), rtol=1e-4, atol=1e-4)
+    diff = np.abs(np.asarray(ref.image_u8, np.int32)
+                  - np.asarray(got.image_u8, np.int32))
+    assert np.mean(diff > 1) < 0.001
+
+
+def test_az_scene_composed_output_sharded_over_az(setup):
+    from radarays_ros_tpu.parallel.sharding import (
+        make_mesh_az_scene, simulate_frame_sharded_az_scene)
+
+    scene, params, cfg, poses, key = setup
+    n_az = len(jax.devices()) // 2
+    mesh = make_mesh_az_scene(n_az=n_az, n_scene=2)
+    got = simulate_frame_sharded_az_scene(scene, params, cfg, poses, key,
+                                          mesh)
+    shard_devs = {s.device for s in got.image_float.addressable_shards}
+    assert len(shard_devs) >= n_az
