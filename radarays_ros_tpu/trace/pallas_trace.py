@@ -501,12 +501,17 @@ def _run_prep_kernel(lo, hi, o_aug, inv_d_t, bud_b, *, Cp: int, RB: int,
                      n_blocks: int, t_max: float, interpret: bool):
     """entry (B, Cp) + t_last (B, RB) via the fused prep kernel(s)."""
     hier = Cp % _SG == 0 and Cp // _SG >= 8
-    # wider ray tiles in the hierarchical path: per-grid-cell overhead
-    # (entry-block revisit, word loop) amortizes over 2x the lanes. The
+    # wide ray tiles in the hierarchical path: per-grid-cell overhead
+    # (entry-block revisit, word loop, vector<->scalar syncs) amortizes
+    # over more lanes. Measured at 1M tris / 409.6k-ray marginal: 512 ->
+    # 21.2 ms trace, 1024 -> 18.6, 2048 -> 19.8 (the whole-block tile's
+    # coarser bitmap wins back the overhead it saves) — 1024 is the
+    # optimum. Exactness-neutral at any width: the block entry is the
+    # min over its tiles' entries and tlast is per lane either way. The
     # tile must DIVIDE the ray block (ray_block is any multiple of 128,
-    # e.g. 768), so fall back through 256 to 128
-    want = 512 if hier else 256
-    rbt = next(r for r in (want, 256, 128) if RB % r == 0)
+    # e.g. 768), so fall back through 512/256 to 128
+    want = 1024 if hier else 256
+    rbt = next(r for r in (want, 512, 256, 128) if RB % r == 0)
     I = RB // rbt
     G = n_blocks * I
 
