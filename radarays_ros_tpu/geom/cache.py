@@ -1,0 +1,110 @@
+"""On-disk cache of precomputed SceneArrays tables.
+
+The reference's rmagine/Embree map import builds its BVH in seconds
+(src/radar_simulator.cpp:149); our split-exact kernel tables are heavier to
+precompute (seconds native, ~minutes NumPy at 10M triangles), so
+Scene.device_arrays() persists the finished SceneArrays keyed by a content
+hash of (vertices, object ids, chunk_size, layout version, builder flavor).
+A warm start then costs one np.load — the reference's order of magnitude.
+
+Storage: one .npz per scene under RADARAYS_SCENE_CACHE (default
+~/.cache/radarays_tpu/scenes), written atomically (tmp + rename) so
+concurrent builders race benignly. bf16 tables are stored as uint16 bit
+patterns (the npz format cannot represent ml_dtypes dtypes portably).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+# bump when the SceneArrays field set / table layouts change — round 4
+# introduced the bf16 two-table sweep layout
+LAYOUT_VERSION = 4
+
+# bf16 leaves stored as uint16 bit patterns
+_BF16_FIELDS = ("sweep_a_t", "sweep_b_t", "tri_table_t")
+
+
+def default_cache_dir() -> Path:
+    env = os.environ.get("RADARAYS_SCENE_CACHE")
+    if env:
+        return Path(env)
+    return Path.home() / ".cache" / "radarays_tpu" / "scenes"
+
+
+def scene_cache_key(verts: np.ndarray, obj_ids: np.ndarray,
+                    chunk_size: int, builder_flavor: str) -> str:
+    """Content hash of everything device_arrays derives its output from.
+
+    The builder flavor (native/numpy) is part of the key: both produce
+    EXACT tables, but their median-split orderings differ at partition
+    ties, so entries are not interchangeable bit-for-bit.
+    """
+    h = hashlib.sha256()
+    h.update(f"v{LAYOUT_VERSION}|{chunk_size}|{builder_flavor}|"
+             f"{verts.shape}|{obj_ids.shape}|".encode())
+    h.update(np.ascontiguousarray(verts, np.float32).tobytes())
+    h.update(np.ascontiguousarray(obj_ids, np.int32).tobytes())
+    return h.hexdigest()[:32]
+
+
+def load_scene_arrays(key: str, cache_dir: Optional[Path] = None):
+    """Return the cached SceneArrays for `key`, or None."""
+    from radarays_ros_tpu.geom.scene import SceneArrays
+
+    import ml_dtypes
+
+    path = (cache_dir or default_cache_dir()) / f"{key}.npz"
+    if not path.exists():
+        return None
+    try:
+        with np.load(path) as z:
+            fields = {}
+            for name in SceneArrays._fields:
+                if name == "chunk_size":
+                    fields[name] = int(z["chunk_size"])
+                elif name in z.files:
+                    arr = z[name]
+                    if name in _BF16_FIELDS:
+                        arr = arr.view(ml_dtypes.bfloat16)
+                    fields[name] = arr
+                else:
+                    fields[name] = None
+            return SceneArrays(**fields)
+    except Exception:
+        # corrupt/stale entry (e.g. truncated write on an old crash):
+        # fall back to a fresh build; the store() below overwrites it
+        return None
+
+
+def store_scene_arrays(key: str, sa, cache_dir: Optional[Path] = None) -> Path:
+    """Persist a SceneArrays under `key` (atomic rename)."""
+    d = cache_dir or default_cache_dir()
+    d.mkdir(parents=True, exist_ok=True)
+    path = d / f"{key}.npz"
+    out = {}
+    for name, val in zip(sa._fields, sa):
+        if val is None:
+            continue
+        if name == "chunk_size":
+            out[name] = np.int64(val)
+        elif name in _BF16_FIELDS:
+            out[name] = np.asarray(val).view(np.uint16)
+        else:
+            out[name] = np.asarray(val)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez(f, **out)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+    return path

@@ -29,24 +29,31 @@ class SceneArrays(NamedTuple):
     chunk_aabb_lo: np.ndarray    # (C, 3) chunk AABB minima
     chunk_aabb_hi: np.ndarray    # (C, 3) chunk AABB maxima
     chunk_size: int              # triangles per chunk (static)
-    # Pallas-kernel DMA layout of the intersection tables (_sweep_table):
-    # (SWEEP_K, C*5*chunk_size) with chunk-major [so | sd | e0 | e1 | e2]
-    # column groups in a 5-rows-per-triangle edge-numerator form (see
-    # _sweep_table for the derivation — 8 plane rows per triangle collapse
-    # to 5 matmul output rows, the sweep kernel's dominant VMEM stream),
-    # with each coefficient SPLIT-EXACT along the contraction axis so one
-    # default-precision MXU pass is f32-exact on TPU (see _SPLIT_PAIRS).
-    # Scene-constant: precomputed here (None -> the tracer derives it on
-    # the fly, e.g. for hand-built SceneArrays).
-    sweep_table_t: Optional[np.ndarray] = None   # (SWEEP_K, 5T)
+    # Pallas-kernel DMA layout of the intersection tables (_sweep_tables),
+    # stored in BF16: every slot value is a bf16-exact split part by
+    # construction (see _SPLIT_PAIRS), so bf16 storage is bitwise-lossless
+    # for the kernel's MXU contraction while halving HBM footprint, slab
+    # DMA bytes, and host build cost vs the round-3 f32 storage.
+    #   sweep_a_t: (SWEEP_K_A, C*2*chunk_size), chunk-major [so | sd]
+    #     column groups (support-plane numerator/denominator), contracted
+    #     against the ray features F_A = [o parts, 1] / F_D = [d parts].
+    #   sweep_b_t: (SWEEP_K, C*3*chunk_size), chunk-major [e0 | e1 | e2]
+    #     column groups (edge numerators), contracted against
+    #     F_B = [d parts, (o x d) parts].
+    # 8 plane rows per triangle collapse to these 5 matmul output rows —
+    # the sweep kernel's dominant VMEM stream (see _sweep_tables for the
+    # derivation). Scene-constant: precomputed here (None -> the tracer
+    # derives them on the fly, e.g. for hand-built SceneArrays).
+    sweep_a_t: Optional[np.ndarray] = None   # (SWEEP_K_A, 2T) bf16
+    sweep_b_t: Optional[np.ndarray] = None   # (SWEEP_K, 3T) bf16
     # Packed per-triangle fetch table for the pallas3 in-kernel hit fetch,
-    # (48, T): 16 semantic rows (0-8 = v0,e1,e2; 9-11 = unit normal;
+    # (48, T) bf16: 16 semantic rows (0-8 = v0,e1,e2; 9-11 = unit normal;
     # 12 = obj_id as f32, -1 for padding; 13 = aux; 14-15 zero) stored as
     # three bf16-exact part blocks (split-exact, see _tri_fetch_table).
     # The sweep kernel contracts it against a one-hot of each lane's
     # winning triangle (one MXU matmul per visited chunk), replacing XLA
     # row gathers that run at ~1.5 GB/s.
-    tri_table_t: Optional[np.ndarray] = None  # (48, T)
+    tri_table_t: Optional[np.ndarray] = None  # (48, T) bf16
 
     @property
     def n_triangles(self) -> int:
@@ -117,61 +124,68 @@ SWEEP_K = 40    # slab height: edge columns use 36 slots, padded to 40
 SWEEP_K_A = 24  # so columns: 18 o-part + 3 one slots, padded to 24
 
 
-def _bf16_parts(x, xp=np):
-    """Split f32 into 3 f32 parts, each exactly bf16-representable, with
-    x == p0 + p1 + p2 exactly (standard bf16x3 operand splitting)."""
+def _bf16_dtype(xp):
     if xp is np:
         import ml_dtypes
 
-        bf16 = ml_dtypes.bfloat16
-    else:
-        bf16 = "bfloat16"
+        return ml_dtypes.bfloat16
+    return "bfloat16"
+
+
+def _bf16_parts(x, xp=np):
+    """Split f32 into 3 f32 parts, each exactly bf16-representable, with
+    x == p0 + p1 + p2 exactly (standard bf16x3 operand splitting)."""
+    bf16 = _bf16_dtype(xp)
     p0 = x.astype(bf16).astype(xp.float32)
     r = x - p0
     p1 = r.astype(bf16).astype(xp.float32)
     return p0, p1, r - p1
 
 
-def _sweep_table(planes_o, chunk_size: int, xp=np):
-    """Pallas sweep-kernel intersection table: (SWEEP_K, C*5*Tc),
-    chunk-major column groups [so | sd | edge0 | edge1 | edge2]
+def _sweep_tables(planes_o, chunk_size: int, xp=np):
+    """Pallas sweep-kernel intersection tables, BF16:
+      A table (SWEEP_K_A, C*2*Tc), chunk-major column groups [so | sd];
+      B table (SWEEP_K,  C*3*Tc), chunk-major column groups [e0|e1|e2]
     (trace/pallas_trace.py).
 
-    The kernel contracts each chunk slab against two per-ray feature
-    vectors built by trace/pallas_trace.py:_sweep_features. Logically,
-    with a triangle's support plane (n, c) and unit edge planes
-    (m_k, c_k) from `planes_o`, the columns encode
+    The kernel contracts each chunk slab against per-ray feature vectors
+    built by trace/pallas_trace.py:_sweep_features. Logically, with a
+    triangle's support plane (n, c) and unit edge planes (m_k, c_k) from
+    `planes_o`, the columns encode
 
-        so  = n.o + c          (vs features [o, 1])
-        sd  = n.d              (vs features [d])
+        so  = n.o + c          (vs features F_A = [o, 1])
+        sd  = n.d              (vs features F_D = [d])
         N_k = B_k.d + A_k.(o x d)   with A_k = m_k x n, B_k = c_k n - c m_k
+              (vs features F_B = [d, o x d])
 
     N_k is the edge evaluation e_k(t) = (m_k.o + c_k) + t (m_k.d) at
     t = -so/sd, SCALED by sd (a Pluecker-style bilinear identity), so the
     oracle's inside test e_k >= -eps becomes the division-free, sign-safe
         N_k * sd + eps * sd^2 >= 0.
     5 output rows per triangle instead of the naive 8 (so+sd for all 4
-    planes) — the sweep's dominant VMEM stream.
+    planes) — the sweep's dominant VMEM stream. Keeping the K=24 so/sd
+    contraction separate from the K=40 edge contraction (two tables)
+    saves ~16% MXU work vs one K=40 layout.
 
     Physically, every coefficient is laid out split-exact (see
     _SPLIT_PAIRS above): coefficient slots hold bf16-exact parts paired
     against matching feature parts, so a single DEFAULT-precision MXU pass
-    computes the f32-exact contraction. Slot layout (table part index i
-    per _SPLIT_PAIRS order):
+    computes the f32-exact contraction. Because every slot is bf16-exact
+    BY CONSTRUCTION, the tables are STORED in bf16 (round 4): bitwise the
+    same contraction, half the HBM/DMA/host-build bytes of f32 storage.
+    Slot layout (table part index i per _SPLIT_PAIRS order):
 
-      so columns (contracted against F_A = [o parts, 1], K = SWEEP_K_A):
+      A table, so columns (vs F_A = [o parts, 1], K = SWEEP_K_A):
         rows  0-17  n_c^i vs o_c^j     (3 comps x 6 pairs)
         rows 18-20  c^0,c^1,c^2 vs 1
         rows 21-23  zero pad (to 24)
-      sd columns (contracted against F_B rows 0-23 — the d parts):
+      A table, sd columns (vs F_D = [d parts], K = SWEEP_K_A):
         rows  0-17  n_c^i vs d_c^j
-        rows 18-39  zero (F_B's w-part rows contribute nothing)
-      edge columns (contracted against F_B = [d parts, w parts], K = 40):
+        rows 18-23  zero
+      B table, edge columns (vs F_B = [d parts, w parts], K = SWEEP_K):
         rows  0-17  B_k,c^i vs d_c^j
         rows 18-35  A_k,c^i vs (o x d)_c^j
         rows 36-39  zero pad
-    Splitting so (K=24) from sd (K=24, riding F_B's d rows) instead of
-    one K=40 A-contraction cuts the sweep's MXU work ~16%.
 
     Generic over numpy/jnp (`xp`): the host scene build and the tracer's
     fallback for hand-built SceneArrays share this one implementation.
@@ -179,6 +193,7 @@ def _sweep_table(planes_o, chunk_size: int, xp=np):
     tc = chunk_size
     T = planes_o.shape[0] // 4
     C = T // tc
+    bf16 = _bf16_dtype(xp)
     po = planes_o.reshape(T, 4, 4)
     n = po[:, 0, :3]                      # support normal
     c_t = po[:, 0, 3:4]
@@ -188,26 +203,28 @@ def _sweep_table(planes_o, chunk_size: int, xp=np):
     B = ck[..., None] * n[:, None, :] - c_t[..., None] * m  # (T, 3, 3)
 
     def six(v):
-        """(T, ..., 3) -> (T, ..., 3, 6): the table-side part per slot."""
-        parts = _bf16_parts(v, xp)
+        """(T, ..., 3) -> (T, ..., 3, 6): the table-side part per slot,
+        already in bf16 (each part is bf16-exact — the cast is lossless)."""
+        parts = [p.astype(bf16) for p in _bf16_parts(v, xp)]
         return xp.stack([parts[i] for i, _ in _SPLIT_PAIRS], axis=-1)
 
-    K = SWEEP_K
     n6 = six(n).reshape(T, 18)                     # n_c^i, c-major
-    c3 = xp.stack(_bf16_parts(c_t[:, 0], xp), -1)  # (T, 3)
-    so_col = xp.concatenate(
-        [n6, c3, xp.zeros((T, 19), xp.float32)], axis=-1)        # (T, 40)
-    sd_col = xp.concatenate(
-        [n6, xp.zeros((T, 22), xp.float32)], axis=-1)            # (T, 40)
+    c3 = xp.stack([p.astype(bf16) for p in _bf16_parts(c_t[:, 0], xp)], -1)
+    z = lambda *s: xp.zeros(s, bf16)
+    so_col = xp.concatenate([n6, c3, z(T, 3)], axis=-1)          # (T, 24)
+    sd_col = xp.concatenate([n6, z(T, 6)], axis=-1)              # (T, 24)
+    a_cols = xp.stack([so_col, sd_col], axis=1)                  # (T, 2, 24)
+    a_tbl = a_cols.reshape(C, tc, 2, SWEEP_K_A).transpose(
+        0, 2, 1, 3).reshape(-1, SWEEP_K_A).T                 # (24, C*2*tc)
     B6 = six(B).reshape(T, 3, 18)                  # B_k,c^i
     A6 = six(A).reshape(T, 3, 18)
-    e_cols = xp.concatenate(
-        [B6, A6, xp.zeros((T, 3, 4), xp.float32)], axis=-1)      # (T, 3, 40)
-    cols = xp.concatenate(
-        [so_col[:, None], sd_col[:, None], e_cols], axis=1)      # (T, 5, 40)
-    tbl = cols.reshape(C, tc, 5, K).transpose(0, 2, 1, 3).reshape(-1, K).T
-    return (np.ascontiguousarray(tbl, np.float32) if xp is np
-            else tbl.astype(xp.float32))
+    e_cols = xp.concatenate([B6, A6, z(T, 3, 4)], axis=-1)       # (T, 3, 40)
+    b_tbl = e_cols.reshape(C, tc, 3, SWEEP_K).transpose(
+        0, 2, 1, 3).reshape(-1, SWEEP_K).T                   # (40, C*3*tc)
+    if xp is np:
+        return (np.ascontiguousarray(a_tbl),
+                np.ascontiguousarray(b_tbl))
+    return a_tbl, b_tbl
 
 
 def _median_split_order(centers: np.ndarray, chunk_size: int) -> np.ndarray:
@@ -244,17 +261,19 @@ def _median_split_order(centers: np.ndarray, chunk_size: int) -> np.ndarray:
 
 
 def _tri_fetch_table(verts, normals, obj_ids, xp=np):
-    """(48, T) packed triangle data for the in-kernel winner fetch
+    """(48, T) BF16 packed triangle data for the in-kernel winner fetch
     (see SceneArrays.tri_table_t), SPLIT-EXACT: the 16 semantic rows
     [v0, e1, e2, normal, obj_id_f32, aux, pad, pad] are stored as three
     bf16-exact part blocks (rows 0-15 = part0, 16-31 = part1,
     32-47 = part2; the kernel one-hot-contracts all 48 rows in ONE
     default-precision MXU pass and sums the part blocks — Mosaic's bf16
     input truncation otherwise ROUNDS the fetched values: object ids came
-    back off by up to 64 on hardware). obj ids are exact f32; INVALID/
-    padding triangles store -1. Real obj ids >= 2^24 are rejected at
-    scene build (Scene.__post_init__) rather than silently degraded
-    here. Generic over numpy/jnp (`xp`)."""
+    back off by up to 64 on hardware). Each part is bf16-exact by
+    construction, so bf16 STORAGE is lossless and halves the table.
+    obj ids are exact f32; INVALID/padding triangles store -1. Real obj
+    ids >= 2^24 are rejected at scene build (Scene.__post_init__) rather
+    than silently degraded here. Generic over numpy/jnp (`xp`)."""
+    bf16 = _bf16_dtype(xp)
     v0 = verts[:, 0]
     obj = xp.where((obj_ids >= 0) & (obj_ids < 2**24), obj_ids, -1)
     rows = xp.concatenate([
@@ -262,9 +281,9 @@ def _tri_fetch_table(verts, normals, obj_ids, xp=np):
         obj.astype(xp.float32)[None],
         xp.zeros((3, verts.shape[0]), xp.float32),
     ], axis=0)
-    out = xp.concatenate(_bf16_parts(rows, xp), axis=0)
-    return (np.ascontiguousarray(out, np.float32) if xp is np
-            else out.astype(xp.float32))
+    out = xp.concatenate([p.astype(bf16) for p in _bf16_parts(rows, xp)],
+                         axis=0)
+    return np.ascontiguousarray(out) if xp is np else out
 
 
 def bake_tri_aux(sa: SceneArrays, tri_aux) -> SceneArrays:
@@ -281,12 +300,14 @@ def bake_tri_aux(sa: SceneArrays, tri_aux) -> SceneArrays:
     trace(tri_aux="baked") then uses the table as-is."""
     if sa.tri_table_t is None:
         raise ValueError("bake_tri_aux needs a precomputed tri_table_t")
-    tbl = np.array(sa.tri_table_t, np.float32, copy=True)
+    tbl = np.array(sa.tri_table_t, copy=True)   # bf16
     row = np.ascontiguousarray(np.asarray(tri_aux), np.float32)
     if row.shape != (tbl.shape[1],):
         raise ValueError(
             f"tri_aux must be shaped (T,) = ({tbl.shape[1]},), got {row.shape}")
-    tbl[13], tbl[29], tbl[45] = _bf16_parts(row, np)
+    bf16 = _bf16_dtype(np)
+    for r, p in zip((13, 29, 45), _bf16_parts(row, np)):
+        tbl[r] = p.astype(bf16)   # parts are bf16-exact: cast is lossless
     return sa._replace(tri_table_t=tbl)
 
 
@@ -335,7 +356,7 @@ class Scene:
         return Scene(v.reshape(-1, 3, 3), self.obj_ids.copy(), self.object_names,
                      self.chunk_size)
 
-    def device_arrays(self) -> SceneArrays:
+    def device_arrays(self, cache: Optional[bool] = None) -> SceneArrays:
         """Build the flattened, spatially-chunked device representation.
 
         Triangles are padded with degenerate far-away triangles to a
@@ -344,12 +365,35 @@ class Scene:
         BVH-style leaf — the AABB quality that makes the culled/pallas3
         chunk sweeps short. Plane/AABB precomputation uses the native C++
         builder (native/) when available, else NumPy.
+
+        cache: persist/reuse the finished tables on disk, keyed by scene
+        content (geom/cache.py) — the analog of the reference's
+        seconds-fast Embree map import for warm starts. None (default) =
+        on for scenes >= ~200k triangles (big enough that the build
+        dominates startup), off below; True/False force it. Disable
+        globally with RADARAYS_SCENE_CACHE_DISABLE=1.
         """
+        import os
+
+        from radarays_ros_tpu.geom import cache as scache
         from radarays_ros_tpu.native import builder as native_builder
 
         verts, obj_ids = self.verts, self.obj_ids
         if self.n_triangles == 0:
             raise ValueError("empty scene")
+
+        if cache is None:
+            cache = self.n_triangles >= 200_000
+        if os.environ.get("RADARAYS_SCENE_CACHE_DISABLE", "0") == "1":
+            cache = False
+        key = None
+        if cache:
+            flavor = "native" if native_builder.available() else "numpy"
+            key = scache.scene_cache_key(verts, obj_ids, self.chunk_size,
+                                         flavor)
+            hit = scache.load_scene_arrays(key)
+            if hit is not None:
+                return hit
 
         # pad FIRST (far degenerate triangles cluster into their own
         # leaves), so the median split can keep every leaf exactly full.
@@ -387,11 +431,14 @@ class Scene:
             lo = chunks.min(axis=(1, 2))
             hi = chunks.max(axis=(1, 2))
 
-        sweep_t = (native_builder.sweep_table(planes_o, self.chunk_size)
-                   if native_builder.available()
-                   else _sweep_table(planes_o, self.chunk_size))
-        tri_t = _tri_fetch_table(verts, normals, obj_ids)
-        return SceneArrays(
+        if native_builder.available():
+            sweep_a, sweep_b = native_builder.sweep_tables(
+                planes_o, self.chunk_size)
+            tri_t = native_builder.tri_table(verts, normals, obj_ids)
+        else:
+            sweep_a, sweep_b = _sweep_tables(planes_o, self.chunk_size)
+            tri_t = _tri_fetch_table(verts, normals, obj_ids)
+        sa = SceneArrays(
             verts=verts,
             obj_ids=obj_ids,
             normals=normals,
@@ -400,9 +447,19 @@ class Scene:
             chunk_aabb_lo=lo.astype(np.float32),
             chunk_aabb_hi=hi.astype(np.float32),
             chunk_size=self.chunk_size,
-            sweep_table_t=sweep_t,
+            sweep_a_t=sweep_a,
+            sweep_b_t=sweep_b,
             tri_table_t=tri_t,
         )
+        if key is not None:
+            try:
+                scache.store_scene_arrays(key, sa)
+            except OSError as e:  # disk full / read-only cache dir
+                import warnings
+
+                warnings.warn(f"scene cache write failed ({e}); continuing "
+                              "without cache", stacklevel=2)
+        return sa
 
     @staticmethod
     def compose(parts: Sequence[np.ndarray], names: Optional[Sequence[str]] = None,
@@ -460,18 +517,18 @@ def shard_scene_arrays(sa: SceneArrays, n_shards: int) -> SceneArrays:
             chunk_aabb_lo=np.full((pad, 3), 1e9, np.float32),
             chunk_aabb_hi=np.full((pad, 3), 1e9, np.float32) + 1.0,
         )
-        if "sweep_table_t" in f:
-            ext["sweep_table_t"] = _sweep_table(ppo, tc)
+        if "sweep_a_t" in f:
+            ext["sweep_a_t"], ext["sweep_b_t"] = _sweep_tables(ppo, tc)
         if "tri_table_t" in f:
             ext["tri_table_t"] = _tri_fetch_table(pv, pn, pobj)
-        axis1 = {"sweep_table_t", "tri_table_t"}
+        axis1 = {"sweep_a_t", "sweep_b_t", "tri_table_t"}
         f = {k: np.concatenate([v, ext[k]], axis=1 if k in axis1 else 0)
              for k, v in f.items()}
 
     n = n_shards
     out = dict(chunk_size=tc)
     for k, v in f.items():
-        if k in ("sweep_table_t", "tri_table_t"):
+        if k in ("sweep_a_t", "sweep_b_t", "tri_table_t"):
             # (rows, Cp*w) -> (n, rows, per*w), chunk-major columns
             rows = v.shape[0]
             out[k] = np.ascontiguousarray(
@@ -479,6 +536,6 @@ def shard_scene_arrays(sa: SceneArrays, n_shards: int) -> SceneArrays:
         else:
             # per-triangle / per-chunk leading axis: plain split
             out[k] = v.reshape((n, v.shape[0] // n) + v.shape[1:])
-    for k in ("sweep_table_t", "tri_table_t"):
+    for k in ("sweep_a_t", "sweep_b_t", "tri_table_t"):
         out.setdefault(k, None)
     return SceneArrays(**out)

@@ -41,9 +41,13 @@ def _lib():
         lib.rr_chunk_aabbs.restype = None
         lib.rr_triangle_planes.argtypes = [fp, ctypes.c_int64, fp, fp, fp]
         lib.rr_triangle_planes.restype = None
-        lib.rr_sweep_table.argtypes = [
-            fp, ctypes.c_int64, ctypes.c_int64, fp]
-        lib.rr_sweep_table.restype = None
+        u16p = ctypes.POINTER(ctypes.c_uint16)
+        lib.rr_sweep_tables.argtypes = [
+            fp, ctypes.c_int64, ctypes.c_int64, u16p, u16p]
+        lib.rr_sweep_tables.restype = None
+        lib.rr_tri_table.argtypes = [
+            fp, fp, ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, u16p]
+        lib.rr_tri_table.restype = None
         i64p = ctypes.POINTER(ctypes.c_int64)
         lib.rr_obj_count.argtypes = [ctypes.c_char_p, i64p, i64p, i64p]
         lib.rr_obj_count.restype = ctypes.c_int
@@ -57,8 +61,26 @@ def _lib():
     return _LIB
 
 
+_WARNED = False
+
+
 def available() -> bool:
-    return _lib() is not None and os.environ.get("RADARAYS_NO_NATIVE", "0") != "1"
+    if os.environ.get("RADARAYS_NO_NATIVE", "0") == "1":
+        return False  # deliberate opt-out (tests): stay quiet
+    if _lib() is not None:
+        return True
+    global _WARNED
+    if not _WARNED:
+        _WARNED = True
+        import warnings
+
+        warnings.warn(
+            "radarays_ros_tpu native helper not built — host-side scene "
+            "builds fall back to NumPy (several times slower at "
+            "million-triangle scale). Build it once with:\n"
+            "    make -C radarays_ros_tpu/native",
+            stacklevel=2)
+    return False
 
 
 def _fp(a: np.ndarray):
@@ -80,18 +102,44 @@ def median_split_order(centers: np.ndarray, chunk_size: int) -> np.ndarray:
     return out
 
 
-def sweep_table(planes_o: np.ndarray, chunk_size: int) -> np.ndarray:
-    """(SWEEP_K, 5T) split-exact Pallas sweep-kernel table via the C++
-    builder (same contract as geom/scene.py:_sweep_table)."""
-    from radarays_ros_tpu.geom.scene import SWEEP_K
+def _u16(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16))
+
+
+def sweep_tables(planes_o: np.ndarray, chunk_size: int):
+    """((SWEEP_K_A, 2T), (SWEEP_K, 3T)) bf16 split-exact Pallas
+    sweep-kernel tables via the C++ builder (same contract as
+    geom/scene.py:_sweep_tables)."""
+    import ml_dtypes
+
+    from radarays_ros_tpu.geom.scene import SWEEP_K, SWEEP_K_A
 
     lib = _lib()
     planes_o = np.ascontiguousarray(planes_o, np.float32)
     T = planes_o.shape[0] // 4
-    out = np.empty((SWEEP_K, 5 * T), np.float32)
-    lib.rr_sweep_table(_fp(planes_o), ctypes.c_int64(T),
-                       ctypes.c_int64(chunk_size), _fp(out))
-    return out
+    a = np.empty((SWEEP_K_A, 2 * T), np.uint16)
+    b = np.empty((SWEEP_K, 3 * T), np.uint16)
+    lib.rr_sweep_tables(_fp(planes_o), ctypes.c_int64(T),
+                        ctypes.c_int64(chunk_size), _u16(a), _u16(b))
+    return a.view(ml_dtypes.bfloat16), b.view(ml_dtypes.bfloat16)
+
+
+def tri_table(verts: np.ndarray, normals: np.ndarray,
+              obj_ids: np.ndarray) -> np.ndarray:
+    """(48, T) bf16 split-exact winner-fetch table via the C++ builder
+    (same contract as geom/scene.py:_tri_fetch_table)."""
+    import ml_dtypes
+
+    lib = _lib()
+    verts = np.ascontiguousarray(verts, np.float32)
+    normals = np.ascontiguousarray(normals, np.float32)
+    obj_ids = np.ascontiguousarray(obj_ids, np.int32)
+    T = verts.shape[0]
+    out = np.empty((48, T), np.uint16)
+    lib.rr_tri_table(_fp(verts), _fp(normals),
+                     obj_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                     ctypes.c_int64(T), _u16(out))
+    return out.view(ml_dtypes.bfloat16)
 
 
 def chunk_aabbs(verts: np.ndarray, chunk_size: int):

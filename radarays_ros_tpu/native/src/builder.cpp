@@ -147,32 +147,43 @@ void rr_triangle_planes(const float* verts, int64_t n, float* normals_out,
   }
 }
 
-// Pallas sweep-kernel intersection table (geom/scene.py:_sweep_table):
-// planes_o (4T, 4) -> out (40, 5T) row-major in the chunk-major
-// [so | sd | edge0 | edge1 | edge2] column-group, SPLIT-EXACT layout:
-// every coefficient is split into 3 bf16-exact parts laid out along the
-// contraction axis per the (i, j) pair table, so the TPU MXU's bf16
-// input truncation is lossless and ONE DEFAULT-precision pass computes
-// the f32-exact contraction (see the Python docstring for the full
-// derivation and the slot map). Each triangle writes 5 distinct columns:
-// no races.
+// Pallas sweep-kernel intersection tables (geom/scene.py:_sweep_tables):
+// planes_o (4T, 4) -> a_out (24, 2T) + b_out (40, 3T) bf16 (uint16 bit
+// patterns) row-major, chunk-major [so | sd] / [e0 | e1 | e2] column
+// groups, SPLIT-EXACT layout: every coefficient is split into 3
+// bf16-exact parts laid out along the contraction axis per the (i, j)
+// pair table, so bf16 STORAGE is lossless and ONE DEFAULT-precision MXU
+// pass computes the f32-exact contraction (see the Python docstring for
+// the full derivation and the slot map). Work is blocked per chunk:
+// each thread fills a cache-resident local slab, then copies contiguous
+// per-row spans into the global tables — the round-3 per-triangle
+// scatter touched 40 distant cache lines per triangle and ran 20x
+// slower than memory bandwidth.
+
+static inline uint16_t rr_bf16_bits(float x) {
+  // round-to-nearest-even f32 -> bf16 bit pattern
+  uint32_t bits;
+  std::memcpy(&bits, &x, 4);
+  return static_cast<uint16_t>((bits + 0x7FFFu + ((bits >> 16) & 1u)) >> 16);
+}
 
 static inline float rr_bf16_round(float x) {
   // round-to-nearest-even truncation of an f32 to bf16, as f32
-  uint32_t bits;
-  std::memcpy(&bits, &x, 4);
-  const uint32_t rounded = bits + 0x7FFFu + ((bits >> 16) & 1u);
-  const uint32_t out = rounded & 0xFFFF0000u;
+  const uint32_t out = static_cast<uint32_t>(rr_bf16_bits(x)) << 16;
   float r;
   std::memcpy(&r, &out, 4);
   return r;
 }
 
-static inline void rr_bf16_parts(float x, float p[3]) {
-  p[0] = rr_bf16_round(x);
-  const float r = x - p[0];
-  p[1] = rr_bf16_round(r);
-  p[2] = r - p[1];
+static inline void rr_bf16_part_bits(float x, uint16_t p[3]) {
+  // three bf16-exact split parts of x, as bf16 bit patterns
+  // (x == p0 + p1 + p2 exactly for finite x; p2 is itself bf16-exact)
+  const float p0 = rr_bf16_round(x);
+  const float r = x - p0;
+  const float p1 = rr_bf16_round(r);
+  p[0] = rr_bf16_bits(p0);
+  p[1] = rr_bf16_bits(p1);
+  p[2] = rr_bf16_bits(r - p1);
 }
 
 // table-side part index per slot within a 6-slot coefficient group
@@ -180,51 +191,110 @@ static inline void rr_bf16_parts(float x, float p[3]) {
 // (2,0) -> i = first of each pair)
 static const int RR_SPLIT_I[6] = {0, 0, 1, 0, 1, 2};
 
-void rr_sweep_table(const float* planes_o, int64_t n_tris,
-                    int64_t chunk_size, float* out) {
-  const int64_t T = n_tris, tc = chunk_size, W = 5 * T;
-  const int64_t K = 40;  // geom/scene.py:SWEEP_K
-  std::memset(out, 0, sizeof(float) * K * static_cast<size_t>(W));
-#pragma omp parallel for schedule(static)
-  for (int64_t j = 0; j < T; ++j) {
-    const float* p = planes_o + j * 16;      // 4 plane rows x [m, c]
-    const float n[3] = {p[0], p[1], p[2]};
-    const float ct = p[3];
-    float np3[3][3];                          // n_c split parts
-    for (int c = 0; c < 3; ++c) rr_bf16_parts(n[c], np3[c]);
-    float ctp[3];
-    rr_bf16_parts(ct, ctp);
-    const int64_t base = (j / tc) * 5 * tc + (j % tc);
-    const int64_t col_so = base;
-    const int64_t col_sd = base + tc;
-    // so column: rows 0-17 = n_c^i (vs o parts), 18-20 = ct parts (vs 1)
-    // sd column: rows 0-17 = n_c^i (vs F_B's d-part rows)
-    for (int c = 0; c < 3; ++c) {
-      for (int s = 0; s < 6; ++s) {
-        out[(c * 6 + s) * W + col_so] = np3[c][RR_SPLIT_I[s]];
-        out[(c * 6 + s) * W + col_sd] = np3[c][RR_SPLIT_I[s]];
-      }
-    }
-    for (int s = 0; s < 3; ++s) out[(18 + s) * W + col_so] = ctp[s];
-    for (int k = 0; k < 3; ++k) {
-      const float* m = p + 4 * (k + 1);
-      const int64_t col = base + (2 + k) * tc;
-      const float B[3] = {m[3] * n[0] - ct * m[0],     // c_k n - c m_k
-                          m[3] * n[1] - ct * m[1],
-                          m[3] * n[2] - ct * m[2]};
-      const float A[3] = {m[1] * n[2] - m[2] * n[1],   // m_k x n
-                          m[2] * n[0] - m[0] * n[2],
-                          m[0] * n[1] - m[1] * n[0]};
-      // edge column: rows 0-17 = B_k,c^i (vs d), 18-35 = A_k,c^i (vs w)
-      for (int c = 0; c < 3; ++c) {
-        float Bp[3], Ap[3];
-        rr_bf16_parts(B[c], Bp);
-        rr_bf16_parts(A[c], Ap);
-        for (int s = 0; s < 6; ++s) {
-          out[(c * 6 + s) * W + col] = Bp[RR_SPLIT_I[s]];
-          out[(18 + c * 6 + s) * W + col] = Ap[RR_SPLIT_I[s]];
+void rr_sweep_tables(const float* planes_o, int64_t n_tris,
+                     int64_t chunk_size, uint16_t* a_out, uint16_t* b_out) {
+  const int64_t T = n_tris, tc = chunk_size, C = T / tc;
+  const int64_t WA = 2 * T, WB = 3 * T;
+  const int KA = 24, KB = 40;  // geom/scene.py:SWEEP_K_A / SWEEP_K
+#pragma omp parallel
+  {
+    std::vector<uint16_t> a_loc(KA * 2 * tc), b_loc(KB * 3 * tc);
+#pragma omp for schedule(static)
+    for (int64_t cidx = 0; cidx < C; ++cidx) {
+      std::fill(a_loc.begin(), a_loc.end(), 0);
+      std::fill(b_loc.begin(), b_loc.end(), 0);
+      for (int64_t jt = 0; jt < tc; ++jt) {
+        const int64_t j = cidx * tc + jt;
+        const float* p = planes_o + j * 16;    // 4 plane rows x [m, c]
+        const float n[3] = {p[0], p[1], p[2]};
+        const float ct = p[3];
+        uint16_t np3[3][3];                    // n_c split parts
+        for (int c = 0; c < 3; ++c) rr_bf16_part_bits(n[c], np3[c]);
+        uint16_t ctp[3];
+        rr_bf16_part_bits(ct, ctp);
+        // A table: so column (rows 0-17 = n_c^i vs o parts, 18-20 = ct
+        // parts vs 1), sd column (rows 0-17 = n_c^i vs d parts)
+        for (int c = 0; c < 3; ++c) {
+          for (int s = 0; s < 6; ++s) {
+            a_loc[(c * 6 + s) * 2 * tc + jt] = np3[c][RR_SPLIT_I[s]];
+            a_loc[(c * 6 + s) * 2 * tc + tc + jt] = np3[c][RR_SPLIT_I[s]];
+          }
+        }
+        for (int s = 0; s < 3; ++s) a_loc[(18 + s) * 2 * tc + jt] = ctp[s];
+        // B table: edge columns (rows 0-17 = B_k,c^i vs d,
+        // 18-35 = A_k,c^i vs o x d)
+        for (int k = 0; k < 3; ++k) {
+          const float* m = p + 4 * (k + 1);
+          const float B[3] = {m[3] * n[0] - ct * m[0],    // c_k n - c m_k
+                              m[3] * n[1] - ct * m[1],
+                              m[3] * n[2] - ct * m[2]};
+          const float A[3] = {m[1] * n[2] - m[2] * n[1],  // m_k x n
+                              m[2] * n[0] - m[0] * n[2],
+                              m[0] * n[1] - m[1] * n[0]};
+          for (int c = 0; c < 3; ++c) {
+            uint16_t Bp[3], Ap[3];
+            rr_bf16_part_bits(B[c], Bp);
+            rr_bf16_part_bits(A[c], Ap);
+            for (int s = 0; s < 6; ++s) {
+              b_loc[(c * 6 + s) * 3 * tc + k * tc + jt] = Bp[RR_SPLIT_I[s]];
+              b_loc[(18 + c * 6 + s) * 3 * tc + k * tc + jt] =
+                  Ap[RR_SPLIT_I[s]];
+            }
+          }
         }
       }
+      for (int r = 0; r < KA; ++r)
+        std::memcpy(a_out + r * WA + cidx * 2 * tc, &a_loc[r * 2 * tc],
+                    sizeof(uint16_t) * 2 * tc);
+      for (int r = 0; r < KB; ++r)
+        std::memcpy(b_out + r * WB + cidx * 3 * tc, &b_loc[r * 3 * tc],
+                    sizeof(uint16_t) * 3 * tc);
+    }
+  }
+}
+
+// Packed (48, T) bf16 winner-fetch table (geom/scene.py:_tri_fetch_table):
+// 16 semantic rows [v0, e1, e2, normal, obj_id_f32, aux=0, 0, 0] as three
+// bf16-exact part blocks (rows 0-15 / 16-31 / 32-47). Blocked by triangle
+// tiles so each row write is a contiguous span.
+void rr_tri_table(const float* verts, const float* normals,
+                  const int32_t* obj_ids, int64_t n_tris, uint16_t* out) {
+  const int64_t T = n_tris, BT = 4096;
+  const int64_t n_blocks = (T + BT - 1) / BT;
+#pragma omp parallel
+  {
+    std::vector<uint16_t> loc(48 * BT);
+#pragma omp for schedule(static)
+    for (int64_t blk = 0; blk < n_blocks; ++blk) {
+      const int64_t t0 = blk * BT, t1 = std::min(T, t0 + BT);
+      const int64_t w = t1 - t0;
+      std::fill(loc.begin(), loc.end(), 0);
+      for (int64_t t = t0; t < t1; ++t) {
+        const float* v = verts + t * 9;
+        float rows16[16];
+        for (int c = 0; c < 3; ++c) {
+          rows16[c] = v[c];                    // v0
+          rows16[3 + c] = v[3 + c] - v[c];     // e1
+          rows16[6 + c] = v[6 + c] - v[c];     // e2
+          rows16[9 + c] = normals[t * 3 + c];
+        }
+        const int32_t oid = obj_ids[t];
+        rows16[12] = (oid >= 0 && oid < (1 << 24))
+                         ? static_cast<float>(oid) : -1.0f;
+        rows16[13] = 0.0f;  // aux slot (baked later if used)
+        rows16[14] = 0.0f;
+        rows16[15] = 0.0f;
+        const int64_t jt = t - t0;
+        for (int r = 0; r < 16; ++r) {
+          uint16_t parts[3];
+          rr_bf16_part_bits(rows16[r], parts);
+          loc[r * BT + jt] = parts[0];
+          loc[(16 + r) * BT + jt] = parts[1];
+          loc[(32 + r) * BT + jt] = parts[2];
+        }
+      }
+      for (int r = 0; r < 48; ++r)
+        std::memcpy(out + r * T + t0, &loc[r * BT], sizeof(uint16_t) * w);
     }
   }
 }

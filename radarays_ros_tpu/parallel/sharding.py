@@ -24,6 +24,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from radarays_ros_tpu.sim.pipeline import simulate_frame
@@ -78,8 +79,80 @@ def make_mesh_2d(n_az: Optional[int] = None, n_smp: int = 2,
     """2-D (azimuth x sample) device mesh for single-frame latency scaling."""
     devs = jax.devices()
     n_az = n_az or len(devs) // n_smp
+    if len(devs) < n_az * n_smp:
+        raise ValueError(
+            f"mesh {axis_names[0]}={n_az} x {axis_names[1]}={n_smp} needs "
+            f"{n_az * n_smp} devices, only {len(devs)} available")
     return Mesh(np.array(devs[: n_az * n_smp]).reshape(n_az, n_smp),
                 axis_names)
+
+
+def _wedge_frame(scene, params, cfg_trace, cfg, poses_loc, a0, local_dirs,
+                 key_noise, img_combine=None):
+    """Per-wedge frame body shared by the 2-D sharded layouts
+    (simulate_frame_sharded_2d / simulate_frame_sharded_az_scene): cone
+    directions -> bounce/signal collection -> binned image -> optional
+    cross-shard image combine -> ambient noise -> u8 normalization.
+
+    cfg_trace carries any trace-time overrides (e.g. trace_scene_axis for
+    the scene-sharded layout); cfg drives the shared draw/noise params.
+    a0 is this wedge's global azimuth offset; local_dirs its (S_loc, 3)
+    sample wedge of the full cone. img_combine, when given, merges the
+    binned (A_loc, n_cells) images across a mesh axis BEFORE noise (the
+    sample-sharded layout's psum/pmax); noise/normalization then run on
+    combined data identically in every shard."""
+    from radarays_ros_tpu.image.draw import (
+        apply_ambient_noise, draw_signals, normalize_to_u8)
+    from radarays_ros_tpu.sim.pipeline import collect_signals
+    from radarays_ros_tpu.utils.transforms import (
+        azimuth_angles, pose_matrix, rotz)
+    from radarays_ros_tpu.wave.types import (
+        broadcast_waves, make_start_wave_attrs)
+
+    A = cfg.n_angles
+    A_loc = poses_loc.shape[0]
+    S_loc = local_dirs.shape[0]
+    weights, mode = cfg.denoiser()
+
+    R_sm, t_sm = pose_matrix(poses_loc)
+    theta = jax.lax.dynamic_slice_in_dim(azimuth_angles(A), a0, A_loc)
+    R_am = jnp.matmul(R_sm, rotz(theta),
+                      precision=jax.lax.Precision.HIGHEST)
+    dirs0 = jnp.einsum("aij,sj->asi", R_am, local_dirs,
+                       precision=jax.lax.Precision.HIGHEST)
+    sensor_pos = t_sm + jnp.array([0.0, 0.0, cfg.z_offset], jnp.float32)
+
+    waves = broadcast_waves(
+        sensor_pos[:, None, :], dirs0,
+        make_start_wave_attrs(material_id=cfg.material_id_air),
+        (A_loc, S_loc))
+
+    times, strengths, valid = collect_signals(scene, params, cfg_trace,
+                                              waves, sensor_pos)
+    img, _ = draw_signals(
+        times, strengths, valid, n_cells=cfg.n_cells,
+        resolution=cfg.resolution, denoise_weights=weights,
+        denoise_mode=mode, method=cfg.draw_method)
+    if img_combine is not None:
+        img = img_combine(img)
+
+    max_val = jnp.max(img, axis=-1)
+    img = img * cfg.energy_max
+    cols = (cfg.scroll_image + a0 + jnp.arange(A_loc, dtype=jnp.int32)) % A
+    img = apply_ambient_noise(
+        img, max_val, cols, key_noise,
+        mode=cfg.ambient_noise, resolution=cfg.resolution,
+        at_signal_0=cfg.ambient_noise_at_signal_0,
+        at_signal_1=cfg.ambient_noise_at_signal_1,
+        energy_max=cfg.ambient_noise_energy_max,
+        energy_min=cfg.ambient_noise_energy_min,
+        energy_loss=cfg.ambient_noise_energy_loss,
+        perlin_scale_low=cfg.ambient_noise_perlin_scale_low,
+        perlin_scale_high=cfg.ambient_noise_perlin_scale_high,
+        perlin_p_low=cfg.ambient_noise_perlin_p_low,
+        rows_slice=(a0, A))
+    u8_rows = normalize_to_u8(img, max_val, cfg.signal_max)
+    return u8_rows, img, max_val
 
 
 def simulate_frame_sharded_2d(scene, params, cfg, poses, key, mesh):
@@ -101,16 +174,8 @@ def simulate_frame_sharded_2d(scene, params, cfg, poses, key, mesh):
     poses: (n_angles, 7); n_angles % mesh az size == 0 and
     cfg.n_samples % mesh smp size == 0.
     """
-    from jax.experimental.shard_map import shard_map
-
-    from radarays_ros_tpu.image.draw import (
-        apply_ambient_noise, draw_signals, normalize_to_u8)
-    from radarays_ros_tpu.sim.pipeline import FrameResult, collect_signals
-    from radarays_ros_tpu.utils.transforms import (
-        azimuth_angles, pose_matrix, rotz)
+    from radarays_ros_tpu.sim.pipeline import FrameResult
     from radarays_ros_tpu.wave.cone import sample_cone_local
-    from radarays_ros_tpu.wave.types import (
-        broadcast_waves, make_start_wave_attrs)
 
     A = cfg.n_angles
     S = cfg.n_samples
@@ -125,14 +190,13 @@ def simulate_frame_sharded_2d(scene, params, cfg, poses, key, mesh):
     else:
         key_cone, key_noise = jax.random.split(jnp.asarray(key))
 
-    weights, mode = cfg.denoiser()
+    weights, _ = cfg.denoiser()
 
     def local(scene, params, poses_loc, key_cone, key_noise):
         ai = jax.lax.axis_index("az")
         si = jax.lax.axis_index("smp")
-        A_loc = poses_loc.shape[0]
         S_loc = S // ns
-        a0 = ai * A_loc
+        a0 = ai * poses_loc.shape[0]
 
         # every shard draws the SAME full cone (same key), then takes its
         # sample wedge — bit-identical to the unsharded frame
@@ -142,49 +206,14 @@ def simulate_frame_sharded_2d(scene, params, cfg, poses, key, mesh):
         local_dirs = jax.lax.dynamic_slice_in_dim(local_dirs, si * S_loc,
                                                   S_loc)
 
-        R_sm, t_sm = pose_matrix(poses_loc)
-        theta = jax.lax.dynamic_slice_in_dim(azimuth_angles(A), a0, A_loc)
-        R_am = jnp.matmul(R_sm, rotz(theta),
-                          precision=jax.lax.Precision.HIGHEST)
-        dirs0 = jnp.einsum("aij,sj->asi", R_am, local_dirs,
-                           precision=jax.lax.Precision.HIGHEST)
-        sensor_pos = t_sm + jnp.array([0.0, 0.0, cfg.z_offset], jnp.float32)
-
-        waves = broadcast_waves(
-            sensor_pos[:, None, :], dirs0,
-            make_start_wave_attrs(material_id=cfg.material_id_air),
-            (A_loc, S_loc))
-
-        times, strengths, valid = collect_signals(scene, params, cfg, waves,
-                                                  sensor_pos)
-        img, _ = draw_signals(
-            times, strengths, valid, n_cells=cfg.n_cells,
-            resolution=cfg.resolution, denoise_weights=weights,
-            denoise_mode=mode, method=cfg.draw_method)
         # combine sample shards: the splat is linear (psum); the no-denoise
         # mode is a per-cell max (pmax)
-        if weights is not None:
-            img = jax.lax.psum(img, "smp")
-        else:
-            img = jax.lax.pmax(img, "smp")
+        def combine(img):
+            return (jax.lax.psum(img, "smp") if weights is not None
+                    else jax.lax.pmax(img, "smp"))
 
-        max_val = jnp.max(img, axis=-1)
-        img = img * cfg.energy_max
-        cols = (cfg.scroll_image + a0 + jnp.arange(A_loc, dtype=jnp.int32)) % A
-        img = apply_ambient_noise(
-            img, max_val, cols, key_noise,
-            mode=cfg.ambient_noise, resolution=cfg.resolution,
-            at_signal_0=cfg.ambient_noise_at_signal_0,
-            at_signal_1=cfg.ambient_noise_at_signal_1,
-            energy_max=cfg.ambient_noise_energy_max,
-            energy_min=cfg.ambient_noise_energy_min,
-            energy_loss=cfg.ambient_noise_energy_loss,
-            perlin_scale_low=cfg.ambient_noise_perlin_scale_low,
-            perlin_scale_high=cfg.ambient_noise_perlin_scale_high,
-            perlin_p_low=cfg.ambient_noise_perlin_p_low,
-            rows_slice=(a0, A))
-        u8_rows = normalize_to_u8(img, max_val, cfg.signal_max)
-        return u8_rows, img, max_val
+        return _wedge_frame(scene, params, cfg, cfg, poses_loc, a0,
+                            local_dirs, key_noise, img_combine=combine)
 
     fn = shard_map(
         local, mesh=mesh,
@@ -248,8 +277,6 @@ def simulate_frame_scene_sharded(scene_arrays, params, cfg, poses, key, mesh,
 
     scene_arrays: UNSHARDED host SceneArrays (this function shards them).
     """
-    from jax.experimental.shard_map import shard_map
-
     from radarays_ros_tpu.geom.scene import shard_scene_arrays
     from radarays_ros_tpu.sim.pipeline import FrameResult
 
@@ -283,10 +310,7 @@ def simulate_frame_scene_sharded(scene_arrays, params, cfg, poses, key, mesh,
 def make_mesh_az_scene(n_az: Optional[int] = None, n_scene: int = 2,
                        axis_names=("az", "scene")) -> Mesh:
     """2-D mesh composing azimuth data-parallelism with scene sharding."""
-    devs = jax.devices()
-    n_az = n_az or len(devs) // n_scene
-    return Mesh(np.array(devs[: n_az * n_scene]).reshape(n_az, n_scene),
-                axis_names)
+    return make_mesh_2d(n_az, n_scene, axis_names)
 
 
 def simulate_frame_sharded_az_scene(scene_arrays, params, cfg, poses, key,
@@ -311,17 +335,9 @@ def simulate_frame_sharded_az_scene(scene_arrays, params, cfg, poses, key,
     scene_arrays: UNSHARDED host SceneArrays (this function shards them).
     poses: (n_angles, 7) or (7,); n_angles % mesh az size == 0.
     """
-    from jax.experimental.shard_map import shard_map
-
     from radarays_ros_tpu.geom.scene import shard_scene_arrays
-    from radarays_ros_tpu.image.draw import (
-        apply_ambient_noise, draw_signals, normalize_to_u8)
-    from radarays_ros_tpu.sim.pipeline import FrameResult, collect_signals
-    from radarays_ros_tpu.utils.transforms import (
-        azimuth_angles, pose_matrix, rotz)
+    from radarays_ros_tpu.sim.pipeline import FrameResult
     from radarays_ros_tpu.wave.cone import sample_cone_local
-    from radarays_ros_tpu.wave.types import (
-        broadcast_waves, make_start_wave_attrs)
 
     A = cfg.n_angles
     S = cfg.n_samples
@@ -339,58 +355,19 @@ def simulate_frame_sharded_az_scene(scene_arrays, params, cfg, poses, key,
     stacked = shard_scene_arrays(scene_arrays, ns)
     specs = scene_shard_specs(stacked, "scene")
     cfg_l = cfg.replace(trace_scene_axis="scene")
-    weights, mode = cfg.denoiser()
 
     def local(scene_loc, params, poses_loc, key_cone, key_noise):
         # strip the size-1 shard axis shard_map leaves on each array leaf
         scene_loc = jax.tree_util.tree_map(
             lambda x: x[0] if np.ndim(x) >= 1 else x, scene_loc)
-        ai = jax.lax.axis_index("az")
-        A_loc = poses_loc.shape[0]
-        a0 = ai * A_loc
-
+        a0 = jax.lax.axis_index("az") * poses_loc.shape[0]
         local_dirs = sample_cone_local(
             key_cone, params.beam_width, S, cfg.beam_sample_dist,
             cfg.beam_sample_dist_normal_p_in_cone)
-
-        R_sm, t_sm = pose_matrix(poses_loc)
-        theta = jax.lax.dynamic_slice_in_dim(azimuth_angles(A), a0, A_loc)
-        R_am = jnp.matmul(R_sm, rotz(theta),
-                          precision=jax.lax.Precision.HIGHEST)
-        dirs0 = jnp.einsum("aij,sj->asi", R_am, local_dirs,
-                           precision=jax.lax.Precision.HIGHEST)
-        sensor_pos = t_sm + jnp.array([0.0, 0.0, cfg.z_offset], jnp.float32)
-
-        waves = broadcast_waves(
-            sensor_pos[:, None, :], dirs0,
-            make_start_wave_attrs(material_id=cfg.material_id_air),
-            (A_loc, S))
-
-        # per-bounce winner merges across "scene" happen inside here
-        times, strengths, valid = collect_signals(scene_loc, params, cfg_l,
-                                                  waves, sensor_pos)
-        img, _ = draw_signals(
-            times, strengths, valid, n_cells=cfg.n_cells,
-            resolution=cfg.resolution, denoise_weights=weights,
-            denoise_mode=mode, method=cfg.draw_method)
-
-        max_val = jnp.max(img, axis=-1)
-        img = img * cfg.energy_max
-        cols = (cfg.scroll_image + a0 + jnp.arange(A_loc, dtype=jnp.int32)) % A
-        img = apply_ambient_noise(
-            img, max_val, cols, key_noise,
-            mode=cfg.ambient_noise, resolution=cfg.resolution,
-            at_signal_0=cfg.ambient_noise_at_signal_0,
-            at_signal_1=cfg.ambient_noise_at_signal_1,
-            energy_max=cfg.ambient_noise_energy_max,
-            energy_min=cfg.ambient_noise_energy_min,
-            energy_loss=cfg.ambient_noise_energy_loss,
-            perlin_scale_low=cfg.ambient_noise_perlin_scale_low,
-            perlin_scale_high=cfg.ambient_noise_perlin_scale_high,
-            perlin_p_low=cfg.ambient_noise_perlin_p_low,
-            rows_slice=(a0, A))
-        u8_rows = normalize_to_u8(img, max_val, cfg.signal_max)
-        return u8_rows, img, max_val
+        # per-bounce winner merges across "scene" happen inside the trace
+        # (cfg_l.trace_scene_axis); no post-draw collective is needed
+        return _wedge_frame(scene_loc, params, cfg_l, cfg, poses_loc, a0,
+                            local_dirs, key_noise)
 
     fn = shard_map(
         local, mesh=mesh,

@@ -168,11 +168,14 @@ class RadarModelConfig:
     # meaningful inside shard_map (parallel/sharding.py:
     # simulate_frame_scene_sharded); None = unsharded scene.
     trace_scene_axis: Optional[str] = None
-    # pallas3 culling supergroup (chunks ranked/DMA'd together). 1 is best
-    # for <=~2M-triangle scenes; raise to 4-8 beyond ~5M triangles so the
-    # per-block chunk-entry table stays inside the kernel's VMEM scope
-    # (chunk_size stays 256 — the sweep's matmul tile).
-    trace_prep_group: int = 1
+    # pallas3 culling supergroup (chunks ranked/DMA'd together). 0 = derive
+    # from scene size (trace/pallas_trace.py:_auto_prep_group): 1 for
+    # <=~3M-triangle scenes (best on dense scenes — coarser culling
+    # multiplies kernel work faster than it cuts prep), rising to 4-8
+    # beyond so the per-block chunk-entry table stays inside the prep
+    # kernel's VMEM scope (chunk_size stays 256 — the sweep's matmul
+    # tile). Set explicitly to override.
+    trace_prep_group: int = 0
     # The scene's tri_table_t already carries the object->material map baked
     # into its aux slot (geom/scene.py:bake_tri_aux) — the pipeline then
     # passes tri_aux="baked" instead of gathering the (T,) map per jit call

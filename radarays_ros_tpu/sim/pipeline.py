@@ -134,7 +134,7 @@ def _bounce(cfg: RadarModelConfig, params: RadarParams, scene: SceneArrays,
         tri_aux=tri_aux,
         ray_block=cfg.trace_ray_block,
         **({"prep_group": cfg.trace_prep_group}
-           if engine == "pallas3" and cfg.trace_prep_group != 1 else {}),
+           if engine == "pallas3" and cfg.trace_prep_group != 0 else {}),
         **({"two_phase_cap": cfg.trace_two_phase_cap}
            if engine == "pallas3" and cfg.trace_two_phase_cap is not None
            else {}),

@@ -7,15 +7,17 @@ the same plane-equation intersection math as the XLA "mxu"/"culled" engines
 BVH traversal:
 
   * Rays ride the LANE axis: the kernel contracts each chunk's packed
-    intersection table (geom/scene.py:_sweep_table) against two per-ray
-    feature vectors as (K, 5*Tc)^T x (K, RB) MXU matmuls — 5 output rows
-    per triangle ([so; sd] for the support plane + 3 edge numerators in a
-    division-free Pluecker form) instead of the naive 8 ([so; sd] for all
-    4 planes), keeping the per-visit VMEM output stream minimal. The
-    contraction uses the SPLIT-EXACT layout (K=40): operands pre-split
-    into bf16-exact parts so one default-precision MXU pass is f32-exact
-    (Mosaic's bf16 input truncation silently corrupted hit decisions and
-    fetched object ids on real hardware otherwise). Every reduction
+    bf16 intersection tables (geom/scene.py:_sweep_tables) against
+    per-ray feature vectors as (K, w)^T x (K, RB) MXU matmuls — 5 output
+    rows per triangle ([so; sd] for the support plane + 3 edge numerators
+    in a division-free Pluecker form) instead of the naive 8 ([so; sd]
+    for all 4 planes), keeping the per-visit VMEM output stream minimal.
+    The contraction uses the SPLIT-EXACT layout (K=24 for so/sd, 40 for
+    edges): operands pre-split into bf16-exact parts so one
+    default-precision bf16 MXU pass is f32-exact (Mosaic's bf16 input
+    truncation silently corrupted hit decisions and fetched object ids on
+    real hardware otherwise), and bf16 STORAGE of the parts (round 4)
+    halves table HBM and slab DMA losslessly. Every reduction
     (nearest-hit min/argmin) is a sublane reduction onto the (1, RB)
     accumulator — no transposes anywhere.
   * Per ray block, the median-split leaf chunks are ranked front-to-back by slab-entry
@@ -59,9 +61,11 @@ _BIG_IDX = 2**30  # python literal: jnp constants would be captured by the kerne
 
 
 def _sweep_features(o, d):
-    """Per-ray feature matrices F_A (SWEEP_K_A, R) and F_B (SWEEP_K, R)
-    in the split-exact slot layout of geom/scene.py:_sweep_table
-    (feature part j per slot; sd columns ride F_B's d-part rows).
+    """Per-ray feature matrices F_A (SWEEP_K_A, R), F_D (SWEEP_K_A, R) and
+    F_B (SWEEP_K, R) in the split-exact slot layout of
+    geom/scene.py:_sweep_tables (feature part j per slot), cast to BF16 —
+    every row is a bf16-exact split part (or 0/1), so the cast is lossless
+    and the kernel's bf16 x bf16 MXU contraction is f32-exact.
 
     Built directly rays-on-lanes — the kernel's BlockSpec slices ray
     columns, so no (B, RB, K) -> (B, K, RB) transpose ever materializes
@@ -77,15 +81,18 @@ def _sweep_features(o, d):
     ones = jnp.ones((R,), jnp.float32)
     zero = jnp.zeros((R,), jnp.float32)
     fa = jnp.stack(sixrows(o) + [ones] * 3 + [zero] * 3, axis=0)
+    fd = jnp.stack(sixrows(d) + [zero] * 6, axis=0)
     fb = jnp.stack(sixrows(d) + sixrows(w) + [zero] * 4, axis=0)
-    return fa, fb
+    bf16 = jnp.bfloat16
+    return fa.astype(bf16), fd.astype(bf16), fb.astype(bf16)
 
 
-def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, fa_ref, fb_ref,
-                     tlast_ref, tbl_hbm, tri_hbm, best_t_ref,
-                     tri_ref,
+def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, fa_ref, fd_ref,
+                     fb_ref, tlast_ref, tbl_a_hbm, tbl_b_hbm, tri_hbm,
+                     best_t_ref, tri_ref,
                      order_ref, entry_ref, idx_sem,
-                     tbl_buf, tbl_sem, tri_buf, tri_sem,
+                     tbl_a_buf, tbl_a_sem, tbl_b_buf, tbl_b_sem,
+                     tri_buf, tri_sem,
                      best_idx_ref, *,
                      tc: int, group: int, t_min: float, t_max: float):
     """v3: ordered chunk sweep with early termination and HBM->VMEM DMA.
@@ -124,8 +131,9 @@ def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, fa_ref, fb_ref,
     tri_ref[:] = jnp.zeros(tri_ref.shape, jnp.float32)
 
     n = nvisit_ref[i, 0]
-    fa = fa_ref[:]        # (SWEEP_K_A, RB) split-exact [o parts, 1]
-    fb = fb_ref[:]        # (SWEEP_K, RB) split-exact [d parts, o x d parts]
+    fa = fa_ref[:]        # (SWEEP_K_A, RB) bf16 split-exact [o parts, 1]
+    fd = fd_ref[:]        # (SWEEP_K_A, RB) bf16 split-exact [d parts]
+    fb = fb_ref[:]        # (SWEEP_K, RB) bf16 split-exact [d, o x d parts]
 
     # the ranked chunk list and its entry distances are too large for SMEM
     # across all ray blocks at big scenes; stream this block's rows in.
@@ -139,22 +147,36 @@ def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, fa_ref, fb_ref,
     cp_o.wait()
     cp_e.wait()
 
-    def dma(k, slot):
-        # the table lives transposed in HBM as (SWEEP_K, C*5*Tc) so the
-        # trailing dimension (the slab, a multiple of 128) satisfies lane
-        # tiling. One visit covers a SUPERGROUP of `group` consecutive leaf
-        # chunks (one contiguous slab): culling/ranking granularity is
-        # group*tc triangles (cheap prep at scale), compute granularity
-        # stays tc (the inner static loop below keeps the matmul
-        # intermediates small)
+    def dmas(k, slot):
+        # the tables live transposed in HBM as (SWEEP_K_A, C*2*Tc) [so|sd]
+        # and (SWEEP_K, C*3*Tc) [e0|e1|e2], both bf16, so the trailing
+        # dimension (the slab, a multiple of 128) satisfies lane tiling.
+        # One visit covers a SUPERGROUP of `group` consecutive leaf
+        # chunks (one contiguous slab per table): culling/ranking
+        # granularity is group*tc triangles (cheap prep at scale), compute
+        # granularity stays tc (the inner static loop below keeps the
+        # matmul intermediates small)
         c = order_ref[k // W, k % W]
-        return pltpu.make_async_copy(
-            tbl_hbm.at[:, pl.ds(c * group * 5 * tc, group * 5 * tc)],
-            tbl_buf.at[slot], tbl_sem.at[slot])
+        return (pltpu.make_async_copy(
+                    tbl_a_hbm.at[:, pl.ds(c * group * 2 * tc, group * 2 * tc)],
+                    tbl_a_buf.at[slot], tbl_a_sem.at[slot]),
+                pltpu.make_async_copy(
+                    tbl_b_hbm.at[:, pl.ds(c * group * 3 * tc, group * 3 * tc)],
+                    tbl_b_buf.at[slot], tbl_b_sem.at[slot]))
+
+    def dma_start(k, slot):
+        a, b = dmas(k, slot)
+        a.start()
+        b.start()
+
+    def dma_wait(k, slot):
+        a, b = dmas(k, slot)
+        a.wait()
+        b.wait()
 
     @pl.when(n > 0)
     def _sweep():
-        dma(0, 0).start()
+        dma_start(0, 0)
 
         # loop-invariant: triangle row index within a chunk (argmin helper)
         rows = jax.lax.broadcasted_iota(jnp.int32, (tc, fa.shape[1]), 0)
@@ -169,35 +191,36 @@ def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, fa_ref, fb_ref,
 
             @pl.when(k + 1 < n)
             def _prefetch():
-                dma(k + 1, 1 - slot).start()
+                dma_start(k + 1, 1 - slot)
 
-            dma(k, slot).wait()
+            dma_wait(k, slot)
 
             c = order_ref[k // W, k % W]
             for g in range(group):
                 # contract the feature axis (dim 0 of both operands): no
-                # transpose needed for the (8, 5*Tc) buffer layout
+                # transpose needed for the buffer layouts
                 dn = (((0,), (0,)), ((), ()))
-                base = g * 5 * tc
-                # DEFAULT precision here is EXACT by construction: Mosaic
-                # lowers f32 matmuls by truncating inputs to bf16 (which
-                # corrupted hits/objects on hardware until round 3), but
-                # both operands are pre-split into bf16-exact parts with
-                # the product expansion along the K axis
-                # (geom/scene.py:_sweep_table "split-exact" layout), so
-                # the truncation is lossless and ONE pass computes the
-                # f32-accurate contraction — Precision.HIGHEST computes
-                # the same thing with 6 full output-streaming passes,
-                # measured 2.7x slower end-to-end.
+                base_a = g * 2 * tc
+                base_b = g * 3 * tc
+                # The bf16 x bf16 contraction at DEFAULT precision is
+                # EXACT by construction: both operands are pre-split into
+                # bf16-exact parts with the product expansion along the K
+                # axis (geom/scene.py:_sweep_tables "split-exact" layout;
+                # bf16 STORAGE of the parts is lossless — Mosaic's f32
+                # path truncates inputs to these very bf16 values), so
+                # ONE MXU pass accumulates the f32-accurate contraction —
+                # Precision.HIGHEST on f32 operands computes the same
+                # thing with 6 full output-streaming passes, measured
+                # 2.7x slower end-to-end.
                 so_s = jax.lax.dot_general(
-                    tbl_buf[slot, 0:SWEEP_K_A, base:base + tc], fa, dn,
+                    tbl_a_buf[slot, :, base_a:base_a + tc], fa, dn,
                     preferred_element_type=jnp.float32)   # (Tc, RB)
                 sd_s = jax.lax.dot_general(
-                    tbl_buf[slot, 0:SWEEP_K_A, base + tc:base + 2 * tc],
-                    fb[0:SWEEP_K_A], dn,
+                    tbl_a_buf[slot, :, base_a + tc:base_a + 2 * tc],
+                    fd, dn,
                     preferred_element_type=jnp.float32)   # (Tc, RB)
                 s_n = jax.lax.dot_general(
-                    tbl_buf[slot, :, base + 2 * tc:base + 5 * tc], fb, dn,
+                    tbl_b_buf[slot, :, base_b:base_b + 3 * tc], fb, dn,
                     preferred_element_type=jnp.float32)   # (3Tc, RB)
                 # IEEE semantics replace the denominator guard: sd == 0
                 # gives t = +-inf (rejected by the range test) or NaN
@@ -244,7 +267,7 @@ def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, fa_ref, fb_ref,
         # flight; every started DMA must be awaited before the kernel ends
         @pl.when(k_final < n)
         def _drain():
-            dma(k_final, jax.lax.rem(k_final, 2)).wait()
+            dma_wait(k_final, jax.lax.rem(k_final, 2))
 
         # ---- winner fetch: pull each lane's winning-triangle data out of
         # the packed table with one one-hot MXU contraction per VISITED
@@ -294,14 +317,14 @@ def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, fa_ref, fb_ref,
                     for g in range(group):  # tile by g: onehot (Tc, RB)
                         gbase = (c * group + g) * tc
                         onehot = (rows_f + gbase
-                                  == bi_all).astype(jnp.float32)
-                        # the (48, T) tri table is stored split-exact
+                                  == bi_all).astype(jnp.bfloat16)
+                        # the (48, T) bf16 tri table is stored split-exact
                         # (three bf16-exact part blocks, geom/scene.py
                         # :_tri_fetch_table), so ONE default-precision
-                        # pass fetches exactly; summing the part blocks
-                        # reconstructs the f32 rows bit-for-bit (the
-                        # default bf16 lowering otherwise ROUNDED fetched
-                        # object ids)
+                        # bf16 pass fetches exactly; summing the part
+                        # blocks reconstructs the f32 rows bit-for-bit
+                        # (a plain bf16 table would ROUND fetched object
+                        # ids)
                         c48 = jax.lax.dot_general(
                             tri_buf[slot, :, g * tc:(g + 1) * tc], onehot,
                             dn, preferred_element_type=jnp.float32)
@@ -610,17 +633,17 @@ def _v3_callable(chunk_size: int, ray_block: int, group: int, t_min: float,
     (the HBM-resident plane/order tables) cannot be batched by vmap."""
 
     @jax.custom_batching.custom_vmap
-    def impl(tbl_t, tri_t, chunk_lo, chunk_hi, origs, dirs, budget):
+    def impl(tbl_a, tbl_b, tri_t, chunk_lo, chunk_hi, origs, dirs, budget):
         return _trace_pallas_v3_impl(
-            tbl_t, tri_t, chunk_lo, chunk_hi, origs, dirs, budget,
+            tbl_a, tbl_b, tri_t, chunk_lo, chunk_hi, origs, dirs, budget,
             chunk_size=chunk_size, ray_block=ray_block, group=group,
             t_min=t_min, t_max=t_max, interpret=interpret)
 
     @impl.def_vmap
-    def _vmap_rule(axis_size, in_batched, tbl_t, tri_t, chunk_lo,
+    def _vmap_rule(axis_size, in_batched, tbl_a, tbl_b, tri_t, chunk_lo,
                    chunk_hi, origs, dirs, budget):
-        tbl_b, tri_b, lo_b, hi_b, o_b, d_b, b_b = in_batched
-        if tbl_b or tri_b or lo_b or hi_b:
+        ta_b, tb_b, tri_b, lo_b, hi_b, o_b, d_b, b_b = in_batched
+        if ta_b or tb_b or tri_b or lo_b or hi_b:
             raise NotImplementedError(
                 "pallas3 cannot batch over scenes; batch rays/poses only")
         o = origs if o_b else jnp.broadcast_to(
@@ -638,7 +661,7 @@ def _v3_callable(chunk_size: int, ray_block: int, group: int, t_min: float,
         # the front-to-back rank order serves every lane at once, so the
         # sweep terminates earlier. Exact: lanes are independent; this is a
         # permutation, inverted on the outputs.
-        t, tri = impl(tbl_t, tri_t, chunk_lo, chunk_hi,
+        t, tri = impl(tbl_a, tbl_b, tri_t, chunk_lo, chunk_hi,
                       o.transpose(1, 0, 2).reshape(-1, 3),
                       d.transpose(1, 0, 2).reshape(-1, 3),
                       b.transpose(1, 0).reshape(-1))
@@ -654,17 +677,18 @@ def _v3_callable(chunk_size: int, ray_block: int, group: int, t_min: float,
     static_argnames=("chunk_size", "ray_block", "group", "t_min", "t_max",
                      "interpret"),
 )
-def _trace_pallas_v3_impl(tbl, tri_t, chunk_lo, chunk_hi, origs, dirs,
-                          budget, *, chunk_size: int, ray_block: int,
+def _trace_pallas_v3_impl(tbl_a, tbl_b, tri_t, chunk_lo, chunk_hi, origs,
+                          dirs, budget, *, chunk_size: int, ray_block: int,
                           group: int, t_min: float, t_max: float,
                           interpret: bool):
-    """tbl: intersection table in the kernel DMA layout (SWEEP_K, C*5*Tc)
-    (geom/scene.py:_sweep_table); tri_t: the (16, C*Tc) packed winner-fetch
-    table — all scene-constant, precomputed by Scene.device_arrays
-    (geom/scene.py) or derived once in trace_pallas_v3. chunk_lo/hi are
-    already padded to a multiple of `group` there."""
+    """tbl_a/tbl_b: bf16 intersection tables in the kernel DMA layout
+    (SWEEP_K_A, C*2*Tc) / (SWEEP_K, C*3*Tc) (geom/scene.py:_sweep_tables);
+    tri_t: the (48, C*Tc) bf16 packed winner-fetch table — all
+    scene-constant, precomputed by Scene.device_arrays (geom/scene.py) or
+    derived once in trace_pallas_v3. chunk_lo/hi are already padded to a
+    multiple of `group` there."""
     tc = chunk_size
-    C = tbl.shape[1] // (5 * tc)
+    C = tbl_a.shape[1] // (2 * tc)
     R = origs.shape[0]
     RB = ray_block
     pad = (-R) % RB
@@ -679,12 +703,12 @@ def _trace_pallas_v3_impl(tbl, tri_t, chunk_lo, chunk_hi, origs, dirs,
     sg_lo = chunk_lo.reshape(C2, group, 3).min(axis=1)
     sg_hi = chunk_hi.reshape(C2, group, 3).max(axis=1)
 
-    # per-ray feature matrices for the kernel's two skinny matmuls, in the
-    # split-exact slot layout matching geom/scene.py:_sweep_table:
-    # A-contraction = [o parts, 1, d parts], B-contraction = [d parts,
-    # (o x d) parts] (o x d are the ray line's Pluecker moment coords).
-    # Shaped (SWEEP_K, R'): the BlockSpec slices ray columns per block.
-    fa, fb = _sweep_features(o, d)
+    # per-ray feature matrices for the kernel's skinny matmuls, in the
+    # split-exact slot layout matching geom/scene.py:_sweep_tables:
+    # F_A = [o parts, 1], F_D = [d parts], F_B = [d parts, (o x d) parts]
+    # (o x d are the ray line's Pluecker moment coords), all bf16.
+    # Shaped (K, R'): the BlockSpec slices ray columns per block.
+    fa, fd, fb = _sweep_features(o, d)
 
     # per-block front-to-back SUPERGROUP ranking + entries, via the fused
     # Pallas prep kernel (_prep_kernel): the pure-XLA formulation of this
@@ -741,12 +765,15 @@ def _trace_pallas_v3_impl(tbl, tri_t, chunk_lo, chunk_hi, origs, dirs,
             pl.BlockSpec(memory_space=pltpu.HBM),    # ranked entries (B, Cp)
             pl.BlockSpec((SWEEP_K_A, RB), lambda i: (0, i),
                          memory_space=pltpu.VMEM),   # F_A (split-exact)
+            pl.BlockSpec((SWEEP_K_A, RB), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),   # F_D (split-exact)
             pl.BlockSpec((SWEEP_K, RB), lambda i: (0, i),
                          memory_space=pltpu.VMEM),   # F_B (split-exact)
             pl.BlockSpec((1, 1, RB), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),   # t_last
-            pl.BlockSpec(memory_space=pltpu.HBM),    # intersection table
-            pl.BlockSpec(memory_space=pltpu.HBM),    # tri fetch table
+            pl.BlockSpec(memory_space=pltpu.HBM),    # so/sd table (bf16)
+            pl.BlockSpec(memory_space=pltpu.HBM),    # edge table (bf16)
+            pl.BlockSpec(memory_space=pltpu.HBM),    # tri fetch table (bf16)
         ],
         out_specs=[
             pl.BlockSpec((1, 1, RB), lambda i: (i, 0, 0),
@@ -762,9 +789,11 @@ def _trace_pallas_v3_impl(tbl, tri_t, chunk_lo, chunk_hi, origs, dirs,
             pltpu.SMEM((8, Cp // 8), jnp.int32),       # this block's order
             pltpu.SMEM((8, Cp // 8), jnp.float32),     # this block's entries
             pltpu.SemaphoreType.DMA((2,)),             # order/entry DMA
-            pltpu.VMEM((2, SWEEP_K, group * 5 * tc), jnp.float32),  # tbl
+            pltpu.VMEM((2, SWEEP_K_A, group * 2 * tc), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((2, 48, group * tc), jnp.float32),     # tri dbl buf
+            pltpu.VMEM((2, SWEEP_K, group * 3 * tc), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, 48, group * tc), jnp.bfloat16),    # tri dbl buf
             pltpu.SemaphoreType.DMA((2,)),
             # the winning GLOBAL triangle index is only needed inside the
             # kernel (it drives the winner-fetch one-hot); scratch, not out
@@ -773,10 +802,32 @@ def _trace_pallas_v3_impl(tbl, tri_t, chunk_lo, chunk_hi, origs, dirs,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
-    )(nvisit, order, entry_pad, fa, fb, t_last, tbl, tri_t)
+    )(nvisit, order, entry_pad, fa, fd, fb, t_last, tbl_a, tbl_b, tri_t)
 
     tri = tri_rows.transpose(0, 2, 1).reshape(-1, 16)[:R]
     return best_t.reshape(-1)[:R], tri
+
+
+def _auto_prep_group(n_chunks: int) -> int:
+    """Smallest supergroup size whose culling tables fit the prep kernel's
+    VMEM scope (VERDICT r3 #4: a 10M-triangle scene with the default
+    group=1 blew Mosaic's VMEM budget instead of rendering).
+
+    The prep kernel keeps three per-(super)chunk VMEM blocks resident —
+    the entry accumulator (1, Cp, 1) and the lo/hi AABB tables (Cp, 3) —
+    each padded to 128 lanes, so VMEM cost ~ 3 * Cp * 512 B. Keeping
+    Cp <= 12288 (~18 MB, comfortably inside the 96 MB limit alongside the
+    bitmap/ray tiles and double-buffering) reproduces the measured-good
+    operating points: 1M triangles (4k chunks) -> 1, 10M (40k chunks) ->
+    4. Powers of two only, capped at 8: Scene.device_arrays pads the
+    chunk count to a multiple of 8, so any g <= 8 divides it and stays on
+    the precomputed-table fast path. Denser scenes than ~25M triangles
+    should raise chunk_size instead.
+    """
+    g = 1
+    while g < 8 and -(-n_chunks // g) > 12288:
+        g *= 2
+    return g
 
 
 def _ray_sort_key(origs, dirs):
@@ -816,7 +867,9 @@ def trace_pallas_v3(scene, origs, dirs, t_min: float = 0.0,
     prep_group: chunks per culling supergroup (coarser ranking, one DMA +
     inner loop per visit). Measured worse than 1 on dense 1M-triangle
     scenes (coarser culling multiplies kernel work faster than it cuts
-    prep); kept as a knob for sparse/huge scenes. Default 1.
+    prep), but REQUIRED >1 at ~10M triangles so the prep kernel's
+    per-chunk tables fit VMEM. Default (None/0): derived from the chunk
+    count by _auto_prep_group — 1 up to ~3M triangles, then 2/4/8.
     sort_rays: spatially sort rays (origin Morton code + direction octant)
     before blocking and restore order after — the engine's culling relies
     on intra-block coherence, so fully INCOHERENT ray sets (random
@@ -856,7 +909,7 @@ def trace_pallas_v3(scene, origs, dirs, t_min: float = 0.0,
             f"(slab width 5*Tc must align to 128 lanes), got {chunk_size}")
     if ray_block % 128 != 0:
         raise ValueError(f"ray_block must be a multiple of 128, got {ray_block}")
-    group = prep_group or 1
+    group = prep_group or _auto_prep_group(scene.chunk_aabb_lo.shape[0])
     impl = _v3_callable(chunk_size, ray_block, group, float(t_min),
                         float(t_max), interpret)
     origs = jnp.asarray(origs)
@@ -868,17 +921,19 @@ def trace_pallas_v3(scene, origs, dirs, t_min: float = 0.0,
     chunk_hi = jnp.asarray(scene.chunk_aabb_hi)
     C = chunk_lo.shape[0]
     pad_c = (-C) % group
-    tbl_t = getattr(scene, "sweep_table_t", None)
-    if tbl_t is not None and pad_c == 0:
+    tbl_a = getattr(scene, "sweep_a_t", None)
+    tbl_b = getattr(scene, "sweep_b_t", None)
+    if tbl_a is not None and tbl_b is not None and pad_c == 0:
         # scene-constant kernel layout, precomputed on host (the on-the-fly
         # relayout of the ~160 MB table dominated large-scene trace time)
-        tbl_t = jnp.asarray(tbl_t)
+        tbl_a = jnp.asarray(tbl_a)
+        tbl_b = jnp.asarray(tbl_b)
     else:
         # fallback for hand-built SceneArrays or non-dividing prep_group:
         # the SAME builder the host precompute uses (geom/scene.py), run in
         # jnp (parity covered by
         # tests/test_trace.py::test_pallas_v3_nondividing_group_...)
-        from radarays_ros_tpu.geom.scene import _sweep_table
+        from radarays_ros_tpu.geom.scene import _sweep_tables
 
         planes_o = jnp.asarray(scene.planes_o)
         if pad_c:
@@ -887,7 +942,7 @@ def trace_pallas_v3(scene, origs, dirs, t_min: float = 0.0,
             planes_o = jnp.concatenate(
                 [planes_o, jnp.zeros((pad_c * 4 * chunk_size, 4),
                                      jnp.float32)], axis=0)
-        tbl_t = _sweep_table(planes_o, chunk_size, xp=jnp)
+        tbl_a, tbl_b = _sweep_tables(planes_o, chunk_size, xp=jnp)
     aux_baked = isinstance(tri_aux, str)
     if aux_baked and tri_aux != "baked":
         raise ValueError(f"tri_aux must be an array or 'baked', got {tri_aux!r}")
@@ -898,7 +953,7 @@ def trace_pallas_v3(scene, origs, dirs, t_min: float = 0.0,
             # pad the triangle axis with never-fetched zeros (the matching
             # pad chunks have zero planes and are never entered)
             tri_t = jnp.concatenate(
-                [tri_t, jnp.zeros((48, pad_c * chunk_size), jnp.float32)],
+                [tri_t, jnp.zeros((48, pad_c * chunk_size), jnp.bfloat16)],
                 axis=1)
     else:
         if aux_baked:
@@ -912,20 +967,22 @@ def trace_pallas_v3(scene, origs, dirs, t_min: float = 0.0,
             scene.verts, scene.normals, scene.obj_ids, xp=xp))
         if pad_c:
             tri_t = jnp.concatenate(
-                [tri_t, jnp.zeros((48, pad_c * chunk_size), jnp.float32)],
+                [tri_t, jnp.zeros((48, pad_c * chunk_size), jnp.bfloat16)],
                 axis=1)
     if tri_aux is not None and not aux_baked:
         # caller-provided per-triangle values ride the kernel's winner-fetch
         # pass as semantic row 13 of the split table (zeros otherwise) —
-        # one bf16-exact part per part block. When the aux row is
-        # material-load constant, bake it into the table instead
-        # (geom/scene.py:bake_tri_aux + tri_aux="baked"): this in-jit path
-        # costs a (T,) gather upstream plus a full-table copy here.
+        # one bf16-exact part per part block (lossless bf16 casts). When
+        # the aux row is material-load constant, bake it into the table
+        # instead (geom/scene.py:bake_tri_aux + tri_aux="baked"): this
+        # in-jit path costs a (T,) gather upstream plus a full-table copy
+        # here.
         aux_row = jnp.asarray(tri_aux, jnp.float32)
         if pad_c:
             aux_row = jnp.concatenate(
                 [aux_row, jnp.zeros((pad_c * chunk_size,), jnp.float32)])
-        a0, a1, a2 = _bf16_parts(aux_row, jnp)
+        a0, a1, a2 = (p.astype(jnp.bfloat16)
+                      for p in _bf16_parts(aux_row, jnp))
         tri_t = tri_t.at[13, :].set(a0).at[29, :].set(a1).at[45, :].set(a2)
     if pad_c:
         far = jnp.full((pad_c, 3), 1e9, jnp.float32)
@@ -941,8 +998,8 @@ def trace_pallas_v3(scene, origs, dirs, t_min: float = 0.0,
     sg = jax.lax.stop_gradient
 
     def run(o_r, d_r, b_r):
-        return impl(sg(tbl_t), sg(tri_t), sg(chunk_lo), sg(chunk_hi),
-                    o_r, d_r, b_r)
+        return impl(sg(tbl_a), sg(tbl_b), sg(tri_t), sg(chunk_lo),
+                    sg(chunk_hi), o_r, d_r, b_r)
 
     def permute(key, o_r, d_r, b_r):
         """Stable multi-operand sort of the ray set by `key` (a permutation

