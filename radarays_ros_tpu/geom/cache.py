@@ -24,11 +24,12 @@ from typing import Optional
 import numpy as np
 
 # bump when the SceneArrays field set / table layouts change — round 4
-# introduced the bf16 two-table sweep layout
-LAYOUT_VERSION = 4
+# introduced the bf16 fused sweep-table layout (v5: single fused table
+# after the two-table v4 measured a frame-rate loss)
+LAYOUT_VERSION = 5
 
 # bf16 leaves stored as uint16 bit patterns
-_BF16_FIELDS = ("sweep_a_t", "sweep_b_t", "tri_table_t")
+_BF16_FIELDS = ("sweep_table_t", "tri_table_t")
 
 
 def default_cache_dir() -> Path:

@@ -147,3 +147,68 @@ def make_urban_scene(n_buildings=60, extent=120.0, seed=0, ground=True):
         parts.append(make_box((x, y, h / 2.0), (w, d, h)))
         names.append(f"building_{i}")
     return parts, names
+
+
+def make_canyon_scene(n_blocks=8, street_w=18.0, block_len=40.0, seed=0,
+                      extent=None):
+    """Dense urban-canyon scene: continuous building facades along a street
+    grid with the sensor at a crossing, plus street furniture (poles).
+
+    The KAIST02-class regime for the published-figure comparison
+    (docs/EVAL_VS_PUBLISHED.md): unlike the sparse box-town of
+    make_urban_scene, nearly every azimuth meets facades at several ranges
+    and multi-bounce corners, so the polar frame's return fraction lands
+    near the reference sim panel's (~0.15) instead of ~0.03. Object 0 is
+    the ground; facades and poles follow. Returns (parts, names).
+    """
+    rng = np.random.default_rng(seed)
+    parts = []
+    names = []
+    half = n_blocks * (block_len + street_w) / 2.0
+    ext = extent or (half + street_w)
+    parts.append(make_plane((0, 0, 0), (2 * ext, 2 * ext), 2))
+    names.append("ground")
+    # street grid: facades face the streets; each block edge is a row of
+    # adjoining building fronts with jittered heights/setbacks
+    coords = (np.arange(n_blocks + 1) - n_blocks / 2.0) * (block_len + street_w)
+    bi = 0
+    for axis in (0, 1):
+        for line in coords:
+            pos = -half
+            while pos < half:
+                seg = rng.uniform(8.0, 22.0)
+                seg = min(seg, half - pos)
+                if seg < 4.0:
+                    break
+                h = rng.uniform(6.0, 28.0)
+                setback = rng.uniform(0.0, 2.5)
+                depth = rng.uniform(6.0, 14.0)
+                mid = pos + seg / 2.0
+                for sgn in (-1.0, 1.0):
+                    c_perp = line + sgn * (street_w / 2.0 + setback
+                                           + depth / 2.0)
+                    center = ((mid, c_perp, h / 2.0) if axis == 0
+                              else (c_perp, mid, h / 2.0))
+                    size = ((seg, depth, h) if axis == 0
+                            else (depth, seg, h))
+                    # keep the sensor crossing open
+                    cx, cy = center[0], center[1]
+                    if abs(cx) < street_w and abs(cy) < street_w:
+                        continue
+                    parts.append(make_box(center, size))
+                    names.append(f"facade_{bi}")
+                    bi += 1
+                pos += seg
+    # street furniture: poles give the sparse bright point returns radar
+    # images show along roads
+    for i in range(n_blocks * 8):
+        along = rng.uniform(-half, half)
+        line = coords[rng.integers(0, len(coords))]
+        off = rng.uniform(-street_w * 0.35, street_w * 0.35)
+        x, y = (along, line + off) if i % 2 == 0 else (line + off, along)
+        if x * x + y * y < 6.0**2:
+            continue
+        parts.append(make_cylinder((x, y, 2.5), radius=0.15, height=5.0,
+                                   segments=6))
+        names.append(f"pole_{i}")
+    return parts, names

@@ -29,23 +29,22 @@ class SceneArrays(NamedTuple):
     chunk_aabb_lo: np.ndarray    # (C, 3) chunk AABB minima
     chunk_aabb_hi: np.ndarray    # (C, 3) chunk AABB maxima
     chunk_size: int              # triangles per chunk (static)
-    # Pallas-kernel DMA layout of the intersection tables (_sweep_tables),
-    # stored in BF16: every slot value is a bf16-exact split part by
-    # construction (see _SPLIT_PAIRS), so bf16 storage is bitwise-lossless
-    # for the kernel's MXU contraction while halving HBM footprint, slab
-    # DMA bytes, and host build cost vs the round-3 f32 storage.
-    #   sweep_a_t: (SWEEP_K_A, C*2*chunk_size), chunk-major [so | sd]
-    #     column groups (support-plane numerator/denominator), contracted
-    #     against the ray features F_A = [o parts, 1] / F_D = [d parts].
-    #   sweep_b_t: (SWEEP_K, C*3*chunk_size), chunk-major [e0 | e1 | e2]
-    #     column groups (edge numerators), contracted against
-    #     F_B = [d parts, (o x d) parts].
-    # 8 plane rows per triangle collapse to these 5 matmul output rows —
-    # the sweep kernel's dominant VMEM stream (see _sweep_tables for the
-    # derivation). Scene-constant: precomputed here (None -> the tracer
-    # derives them on the fly, e.g. for hand-built SceneArrays).
-    sweep_a_t: Optional[np.ndarray] = None   # (SWEEP_K_A, 2T) bf16
-    sweep_b_t: Optional[np.ndarray] = None   # (SWEEP_K, 3T) bf16
+    # Pallas-kernel DMA layout of the intersection table
+    # (_sweep_table_fused), stored in BF16: every slot value is a
+    # bf16-exact split part by construction (see _SPLIT_PAIRS), so bf16
+    # storage is bitwise-lossless for the kernel's MXU contraction at
+    # half the HBM footprint, slab DMA bytes, and host build cost of the
+    # round-3 f32 storage. (SWEEP_K, C*5*chunk_size), chunk-major
+    # [so | sd | e0 | e1 | e2] column groups: support-plane
+    # numerator/denominator (24 live rows, zero-padded to SWEEP_K) and
+    # the three edge numerators — 8 plane rows per triangle collapse to
+    # these 5 matmul output rows, the sweep kernel's dominant VMEM
+    # stream (see _sweep_tables for the derivation). One contiguous slab
+    # per chunk -> ONE DMA per chunk visit (a two-table split measured
+    # ~15% frame loss on short sweeps, round 4). Scene-constant:
+    # precomputed here (None -> the tracer derives it on the fly, e.g.
+    # for hand-built SceneArrays).
+    sweep_table_t: Optional[np.ndarray] = None   # (SWEEP_K, 5T) bf16
     # Packed per-triangle fetch table for the pallas3 in-kernel hit fetch,
     # (48, T) bf16: 16 semantic rows (0-8 = v0,e1,e2; 9-11 = unit normal;
     # 12 = obj_id as f32, -1 for padding; 13 = aux; 14-15 zero) stored as
@@ -134,11 +133,40 @@ def _bf16_dtype(xp):
 
 def _bf16_parts(x, xp=np):
     """Split f32 into 3 f32 parts, each exactly bf16-representable, with
-    x == p0 + p1 + p2 exactly (standard bf16x3 operand splitting)."""
-    bf16 = _bf16_dtype(xp)
-    p0 = x.astype(bf16).astype(xp.float32)
+    x == p0 + p1 + p2 exactly (bf16x3 operand splitting).
+
+    The host (numpy) path rounds each part to nearest (ml_dtypes); the
+    traced (jnp) path MUST NOT be written as `x - x.astype(bf16)
+    .astype(f32)`: XLA under --xla_allow_excess_precision (set by the TPU
+    compile service) treats the f32->bf16->f32 round-trip as
+    value-preserving and cancels the subtraction to ZERO, silently
+    stripping the fine parts — measured in round 4 as the pallas3 sweep
+    running at plain-bf16 accuracy (~0.3% wrong hit distances, 164
+    wrong winners per 131k rays) while every part-building step computed
+    EAGERLY was exact. The jnp path therefore splits by integer mantissa
+    masking (a truncation split, immune to floating-point rewrites):
+    p0 = bits(x) & 0xffff0000 is exactly bf16-representable, x - p0 is
+    exact (same exponent window), and the <= 8 trailing mantissa bits of
+    the second remainder make p2 bf16-exact too. Truncation and
+    round-to-nearest splits differ in the parts they produce but both
+    reconstruct x exactly — table-side (host, RNE) and feature-side
+    (traced, truncation) conventions need not match."""
+    if xp is np:
+        bf16 = _bf16_dtype(np)
+        p0 = x.astype(bf16).astype(np.float32)
+        r = x - p0
+        p1 = r.astype(bf16).astype(np.float32)
+        return p0, p1, r - p1
+    import jax
+
+    def trunc(v):
+        b = jax.lax.bitcast_convert_type(v, xp.uint32)
+        return jax.lax.bitcast_convert_type(
+            b & xp.uint32(0xFFFF0000), xp.float32)
+
+    p0 = trunc(x)
     r = x - p0
-    p1 = r.astype(bf16).astype(xp.float32)
+    p1 = trunc(r)
     return p0, p1, r - p1
 
 
@@ -225,6 +253,29 @@ def _sweep_tables(planes_o, chunk_size: int, xp=np):
         return (np.ascontiguousarray(a_tbl),
                 np.ascontiguousarray(b_tbl))
     return a_tbl, b_tbl
+
+
+def _sweep_table_fused(planes_o, chunk_size: int, xp=np):
+    """Single fused sweep table (SWEEP_K, C*5*Tc) bf16, chunk-major
+    [so | sd | e0 | e1 | e2] column groups: the A-table's 24-row so/sd
+    columns zero-padded to SWEEP_K rows and interleaved with the B-table
+    per chunk, so ONE slab DMA per chunk visit feeds all three kernel
+    contractions (measured: the round-4 two-table/two-DMA layout cost
+    ~15% frame throughput on short budget-bounded sweeps; the fused
+    layout restores the round-3 schedule at 40% of its table bytes).
+    so/sd contract against F_A/F_D zero-padded to K=SWEEP_K — rows 24-39
+    are zero on both sides, so exactness is untouched."""
+    tc = chunk_size
+    T = planes_o.shape[0] // 4
+    C = T // tc
+    a_tbl, b_tbl = _sweep_tables(planes_o, chunk_size, xp)
+    bf16 = _bf16_dtype(xp)
+    a = a_tbl.T.reshape(C, 2, tc, SWEEP_K_A)       # (C, so/sd, tc, 24)
+    pad = xp.zeros((C, 2, tc, SWEEP_K - SWEEP_K_A), bf16)
+    a = xp.concatenate([a, pad], axis=-1)          # (C, 2, tc, 40)
+    b = b_tbl.T.reshape(C, 3, tc, SWEEP_K)
+    tbl = xp.concatenate([a, b], axis=1).reshape(-1, SWEEP_K).T
+    return np.ascontiguousarray(tbl) if xp is np else tbl
 
 
 def _median_split_order(centers: np.ndarray, chunk_size: int) -> np.ndarray:
@@ -432,11 +483,11 @@ class Scene:
             hi = chunks.max(axis=(1, 2))
 
         if native_builder.available():
-            sweep_a, sweep_b = native_builder.sweep_tables(
+            sweep_t = native_builder.sweep_table_fused(
                 planes_o, self.chunk_size)
             tri_t = native_builder.tri_table(verts, normals, obj_ids)
         else:
-            sweep_a, sweep_b = _sweep_tables(planes_o, self.chunk_size)
+            sweep_t = _sweep_table_fused(planes_o, self.chunk_size)
             tri_t = _tri_fetch_table(verts, normals, obj_ids)
         sa = SceneArrays(
             verts=verts,
@@ -447,8 +498,7 @@ class Scene:
             chunk_aabb_lo=lo.astype(np.float32),
             chunk_aabb_hi=hi.astype(np.float32),
             chunk_size=self.chunk_size,
-            sweep_a_t=sweep_a,
-            sweep_b_t=sweep_b,
+            sweep_table_t=sweep_t,
             tri_table_t=tri_t,
         )
         if key is not None:
@@ -517,18 +567,18 @@ def shard_scene_arrays(sa: SceneArrays, n_shards: int) -> SceneArrays:
             chunk_aabb_lo=np.full((pad, 3), 1e9, np.float32),
             chunk_aabb_hi=np.full((pad, 3), 1e9, np.float32) + 1.0,
         )
-        if "sweep_a_t" in f:
-            ext["sweep_a_t"], ext["sweep_b_t"] = _sweep_tables(ppo, tc)
+        if "sweep_table_t" in f:
+            ext["sweep_table_t"] = _sweep_table_fused(ppo, tc)
         if "tri_table_t" in f:
             ext["tri_table_t"] = _tri_fetch_table(pv, pn, pobj)
-        axis1 = {"sweep_a_t", "sweep_b_t", "tri_table_t"}
+        axis1 = {"sweep_table_t", "tri_table_t"}
         f = {k: np.concatenate([v, ext[k]], axis=1 if k in axis1 else 0)
              for k, v in f.items()}
 
     n = n_shards
     out = dict(chunk_size=tc)
     for k, v in f.items():
-        if k in ("sweep_a_t", "sweep_b_t", "tri_table_t"):
+        if k in ("sweep_table_t", "tri_table_t"):
             # (rows, Cp*w) -> (n, rows, per*w), chunk-major columns
             rows = v.shape[0]
             out[k] = np.ascontiguousarray(
@@ -536,6 +586,6 @@ def shard_scene_arrays(sa: SceneArrays, n_shards: int) -> SceneArrays:
         else:
             # per-triangle / per-chunk leading axis: plain split
             out[k] = v.reshape((n, v.shape[0] // n) + v.shape[1:])
-    for k in ("sweep_a_t", "sweep_b_t", "tri_table_t"):
+    for k in ("sweep_table_t", "tri_table_t"):
         out.setdefault(k, None)
     return SceneArrays(**out)

@@ -42,9 +42,9 @@ def _lib():
         lib.rr_triangle_planes.argtypes = [fp, ctypes.c_int64, fp, fp, fp]
         lib.rr_triangle_planes.restype = None
         u16p = ctypes.POINTER(ctypes.c_uint16)
-        lib.rr_sweep_tables.argtypes = [
-            fp, ctypes.c_int64, ctypes.c_int64, u16p, u16p]
-        lib.rr_sweep_tables.restype = None
+        lib.rr_sweep_table_fused.argtypes = [
+            fp, ctypes.c_int64, ctypes.c_int64, u16p]
+        lib.rr_sweep_table_fused.restype = None
         lib.rr_tri_table.argtypes = [
             fp, fp, ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, u16p]
         lib.rr_tri_table.restype = None
@@ -106,22 +106,20 @@ def _u16(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16))
 
 
-def sweep_tables(planes_o: np.ndarray, chunk_size: int):
-    """((SWEEP_K_A, 2T), (SWEEP_K, 3T)) bf16 split-exact Pallas
-    sweep-kernel tables via the C++ builder (same contract as
-    geom/scene.py:_sweep_tables)."""
+def sweep_table_fused(planes_o: np.ndarray, chunk_size: int) -> np.ndarray:
+    """(SWEEP_K, 5T) bf16 split-exact fused Pallas sweep-kernel table via
+    the C++ builder (same contract as geom/scene.py:_sweep_table_fused)."""
     import ml_dtypes
 
-    from radarays_ros_tpu.geom.scene import SWEEP_K, SWEEP_K_A
+    from radarays_ros_tpu.geom.scene import SWEEP_K
 
     lib = _lib()
     planes_o = np.ascontiguousarray(planes_o, np.float32)
     T = planes_o.shape[0] // 4
-    a = np.empty((SWEEP_K_A, 2 * T), np.uint16)
-    b = np.empty((SWEEP_K, 3 * T), np.uint16)
-    lib.rr_sweep_tables(_fp(planes_o), ctypes.c_int64(T),
-                        ctypes.c_int64(chunk_size), _u16(a), _u16(b))
-    return a.view(ml_dtypes.bfloat16), b.view(ml_dtypes.bfloat16)
+    out = np.empty((SWEEP_K, 5 * T), np.uint16)
+    lib.rr_sweep_table_fused(_fp(planes_o), ctypes.c_int64(T),
+                             ctypes.c_int64(chunk_size), _u16(out))
+    return out.view(ml_dtypes.bfloat16)
 
 
 def tri_table(verts: np.ndarray, normals: np.ndarray,

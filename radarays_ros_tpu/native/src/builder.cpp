@@ -147,10 +147,10 @@ void rr_triangle_planes(const float* verts, int64_t n, float* normals_out,
   }
 }
 
-// Pallas sweep-kernel intersection tables (geom/scene.py:_sweep_tables):
-// planes_o (4T, 4) -> a_out (24, 2T) + b_out (40, 3T) bf16 (uint16 bit
-// patterns) row-major, chunk-major [so | sd] / [e0 | e1 | e2] column
-// groups, SPLIT-EXACT layout: every coefficient is split into 3
+// Pallas sweep-kernel intersection table (geom/scene.py:_sweep_table_fused):
+// planes_o (4T, 4) -> out (40, 5T) bf16 (uint16 bit patterns) row-major,
+// chunk-major [so | sd | e0 | e1 | e2] column groups (so/sd columns use
+// rows 0-23), SPLIT-EXACT layout: every coefficient is split into 3
 // bf16-exact parts laid out along the contraction axis per the (i, j)
 // pair table, so bf16 STORAGE is lossless and ONE DEFAULT-precision MXU
 // pass computes the f32-exact contraction (see the Python docstring for
@@ -191,18 +191,19 @@ static inline void rr_bf16_part_bits(float x, uint16_t p[3]) {
 // (2,0) -> i = first of each pair)
 static const int RR_SPLIT_I[6] = {0, 0, 1, 0, 1, 2};
 
-void rr_sweep_tables(const float* planes_o, int64_t n_tris,
-                     int64_t chunk_size, uint16_t* a_out, uint16_t* b_out) {
+void rr_sweep_table_fused(const float* planes_o, int64_t n_tris,
+                          int64_t chunk_size, uint16_t* out) {
+  // out: (40, 5T) row-major, chunk-major [so | sd | e0 | e1 | e2] column
+  // groups; so/sd columns use rows 0-23 (rows 24-39 zero)
   const int64_t T = n_tris, tc = chunk_size, C = T / tc;
-  const int64_t WA = 2 * T, WB = 3 * T;
-  const int KA = 24, KB = 40;  // geom/scene.py:SWEEP_K_A / SWEEP_K
+  const int64_t W = 5 * T;
+  const int K = 40;  // geom/scene.py:SWEEP_K
 #pragma omp parallel
   {
-    std::vector<uint16_t> a_loc(KA * 2 * tc), b_loc(KB * 3 * tc);
+    std::vector<uint16_t> loc(K * 5 * tc);
 #pragma omp for schedule(static)
     for (int64_t cidx = 0; cidx < C; ++cidx) {
-      std::fill(a_loc.begin(), a_loc.end(), 0);
-      std::fill(b_loc.begin(), b_loc.end(), 0);
+      std::fill(loc.begin(), loc.end(), 0);
       for (int64_t jt = 0; jt < tc; ++jt) {
         const int64_t j = cidx * tc + jt;
         const float* p = planes_o + j * 16;    // 4 plane rows x [m, c]
@@ -212,17 +213,17 @@ void rr_sweep_tables(const float* planes_o, int64_t n_tris,
         for (int c = 0; c < 3; ++c) rr_bf16_part_bits(n[c], np3[c]);
         uint16_t ctp[3];
         rr_bf16_part_bits(ct, ctp);
-        // A table: so column (rows 0-17 = n_c^i vs o parts, 18-20 = ct
-        // parts vs 1), sd column (rows 0-17 = n_c^i vs d parts)
+        // so column (rows 0-17 = n_c^i vs o parts, 18-20 = ct parts
+        // vs 1), sd column (rows 0-17 = n_c^i vs d parts)
         for (int c = 0; c < 3; ++c) {
           for (int s = 0; s < 6; ++s) {
-            a_loc[(c * 6 + s) * 2 * tc + jt] = np3[c][RR_SPLIT_I[s]];
-            a_loc[(c * 6 + s) * 2 * tc + tc + jt] = np3[c][RR_SPLIT_I[s]];
+            loc[(c * 6 + s) * 5 * tc + jt] = np3[c][RR_SPLIT_I[s]];
+            loc[(c * 6 + s) * 5 * tc + tc + jt] = np3[c][RR_SPLIT_I[s]];
           }
         }
-        for (int s = 0; s < 3; ++s) a_loc[(18 + s) * 2 * tc + jt] = ctp[s];
-        // B table: edge columns (rows 0-17 = B_k,c^i vs d,
-        // 18-35 = A_k,c^i vs o x d)
+        for (int s = 0; s < 3; ++s) loc[(18 + s) * 5 * tc + jt] = ctp[s];
+        // edge columns (rows 0-17 = B_k,c^i vs d, 18-35 = A_k,c^i
+        // vs o x d)
         for (int k = 0; k < 3; ++k) {
           const float* m = p + 4 * (k + 1);
           const float B[3] = {m[3] * n[0] - ct * m[0],    // c_k n - c m_k
@@ -236,19 +237,17 @@ void rr_sweep_tables(const float* planes_o, int64_t n_tris,
             rr_bf16_part_bits(B[c], Bp);
             rr_bf16_part_bits(A[c], Ap);
             for (int s = 0; s < 6; ++s) {
-              b_loc[(c * 6 + s) * 3 * tc + k * tc + jt] = Bp[RR_SPLIT_I[s]];
-              b_loc[(18 + c * 6 + s) * 3 * tc + k * tc + jt] =
+              loc[(c * 6 + s) * 5 * tc + (2 + k) * tc + jt] =
+                  Bp[RR_SPLIT_I[s]];
+              loc[(18 + c * 6 + s) * 5 * tc + (2 + k) * tc + jt] =
                   Ap[RR_SPLIT_I[s]];
             }
           }
         }
       }
-      for (int r = 0; r < KA; ++r)
-        std::memcpy(a_out + r * WA + cidx * 2 * tc, &a_loc[r * 2 * tc],
-                    sizeof(uint16_t) * 2 * tc);
-      for (int r = 0; r < KB; ++r)
-        std::memcpy(b_out + r * WB + cidx * 3 * tc, &b_loc[r * 3 * tc],
-                    sizeof(uint16_t) * 3 * tc);
+      for (int r = 0; r < K; ++r)
+        std::memcpy(out + r * W + cidx * 5 * tc, &loc[r * 5 * tc],
+                    sizeof(uint16_t) * 5 * tc);
     }
   }
 }

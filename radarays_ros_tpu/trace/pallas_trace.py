@@ -7,7 +7,7 @@ the same plane-equation intersection math as the XLA "mxu"/"culled" engines
 BVH traversal:
 
   * Rays ride the LANE axis: the kernel contracts each chunk's packed
-    bf16 intersection tables (geom/scene.py:_sweep_tables) against
+    bf16 intersection table (geom/scene.py:_sweep_table_fused) against
     per-ray feature vectors as (K, w)^T x (K, RB) MXU matmuls — 5 output
     rows per triangle ([so; sd] for the support plane + 3 edge numerators
     in a division-free Pluecker form) instead of the naive 8 ([so; sd]
@@ -60,39 +60,46 @@ _INSIDE_EPS = 1e-5  # meters (edge planes are unit-normalized); planes.py:33
 _BIG_IDX = 2**30  # python literal: jnp constants would be captured by the kernel
 
 
-def _sweep_features(o, d):
-    """Per-ray feature matrices F_A (SWEEP_K_A, R), F_D (SWEEP_K_A, R) and
-    F_B (SWEEP_K, R) in the split-exact slot layout of
-    geom/scene.py:_sweep_tables (feature part j per slot), cast to BF16 —
-    every row is a bf16-exact split part (or 0/1), so the cast is lossless
-    and the kernel's bf16 x bf16 MXU contraction is f32-exact.
+def _sweep_features(o, d, dtype=jnp.bfloat16):
+    """Per-ray feature matrices F_A and F_B — each (SWEEP_K, R) — in the
+    split-exact slot layout of geom/scene.py:_sweep_table_fused (feature
+    part j per slot), cast to the sweep table's dtype: every row is a
+    bf16-exact split part (or 0/1), so the bf16 cast is lossless and the
+    kernel's MXU contraction is f32-exact at either operand dtype.
+    F_A = [o parts, 1] (21 live rows zero-padded to SWEEP_K — the so
+    table columns' rows 21-39 are zero too); F_B = [d parts, (o x d)
+    parts] serves BOTH the sd columns (whose rows 18-39 are zero, killing
+    the w rows) and the edge columns.
 
-    Built directly rays-on-lanes — the kernel's BlockSpec slices ray
-    columns, so no (B, RB, K) -> (B, K, RB) transpose ever materializes
-    (at 400k rays the two transposes alone cost ~1 ms per bounce)."""
+    Assembly is three block ops per array — a (6, R, 3) part stack, one
+    (3c, 6s, R) transpose, a short concatenate — instead of a 36-way
+    single-row stack: XLA materialized the row stack as 36 separate
+    (1, R) concatenations (~0.8 ms per array per bounce at 400k rays).
+    Built rays-on-lanes — the kernel's BlockSpec slices ray columns, so
+    no (B, RB, K) -> (B, K, RB) transpose ever materializes."""
     R = o.shape[0]
     w = jnp.cross(o, d)
 
     def sixrows(v):
-        # 18 rows: per component c, the feature part j per _SPLIT_PAIRS
-        parts = _bf16_parts(v, jnp)
-        return [parts[j][:, c] for c in range(3) for _, j in _SPLIT_PAIRS]
+        # (18, R): row c*6+s = part j(s) of component c (_SPLIT_PAIRS)
+        p = _bf16_parts(v, jnp)
+        sl = jnp.stack([p[j] for _, j in _SPLIT_PAIRS], axis=0)  # (6, R, 3)
+        return sl.transpose(2, 0, 1).reshape(18, R)
 
-    ones = jnp.ones((R,), jnp.float32)
-    zero = jnp.zeros((R,), jnp.float32)
-    fa = jnp.stack(sixrows(o) + [ones] * 3 + [zero] * 3, axis=0)
-    fd = jnp.stack(sixrows(d) + [zero] * 6, axis=0)
-    fb = jnp.stack(sixrows(d) + sixrows(w) + [zero] * 4, axis=0)
-    bf16 = jnp.bfloat16
-    return fa.astype(bf16), fd.astype(bf16), fb.astype(bf16)
+    ones = jnp.ones((1, R), jnp.float32)
+    zpad = lambda k: jnp.zeros((k, R), jnp.float32)
+    fa = jnp.concatenate(
+        [sixrows(o), jnp.broadcast_to(ones, (3, R)),
+         zpad(SWEEP_K - 21)], axis=0)
+    fb = jnp.concatenate([sixrows(d), sixrows(w), zpad(SWEEP_K - 36)],
+                         axis=0)
+    return fa.astype(dtype), fb.astype(dtype)
 
 
-def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, fa_ref, fd_ref,
-                     fb_ref, tlast_ref, tbl_a_hbm, tbl_b_hbm, tri_hbm,
-                     best_t_ref, tri_ref,
+def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, fa_ref, fb_ref,
+                     tlast_ref, tbl_hbm, tri_hbm, best_t_ref, tri_ref,
                      order_ref, entry_ref, idx_sem,
-                     tbl_a_buf, tbl_a_sem, tbl_b_buf, tbl_b_sem,
-                     tri_buf, tri_sem,
+                     tbl_buf, tbl_sem, tri_buf, tri_sem,
                      best_idx_ref, *,
                      tc: int, group: int, t_min: float, t_max: float):
     """v3: ordered chunk sweep with early termination and HBM->VMEM DMA.
@@ -131,8 +138,7 @@ def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, fa_ref, fd_ref,
     tri_ref[:] = jnp.zeros(tri_ref.shape, jnp.float32)
 
     n = nvisit_ref[i, 0]
-    fa = fa_ref[:]        # (SWEEP_K_A, RB) bf16 split-exact [o parts, 1]
-    fd = fd_ref[:]        # (SWEEP_K_A, RB) bf16 split-exact [d parts]
+    fa = fa_ref[:]        # (SWEEP_K, RB) bf16 split-exact [o parts, 1, pad]
     fb = fb_ref[:]        # (SWEEP_K, RB) bf16 split-exact [d, o x d parts]
 
     # the ranked chunk list and its entry distances are too large for SMEM
@@ -147,36 +153,25 @@ def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, fa_ref, fd_ref,
     cp_o.wait()
     cp_e.wait()
 
-    def dmas(k, slot):
-        # the tables live transposed in HBM as (SWEEP_K_A, C*2*Tc) [so|sd]
-        # and (SWEEP_K, C*3*Tc) [e0|e1|e2], both bf16, so the trailing
-        # dimension (the slab, a multiple of 128) satisfies lane tiling.
-        # One visit covers a SUPERGROUP of `group` consecutive leaf
-        # chunks (one contiguous slab per table): culling/ranking
-        # granularity is group*tc triangles (cheap prep at scale), compute
-        # granularity stays tc (the inner static loop below keeps the
-        # matmul intermediates small)
+    def dma(k, slot):
+        # the table lives transposed in HBM as (SWEEP_K, C*5*Tc) bf16
+        # with chunk-major [so|sd|e0|e1|e2] column groups, so the trailing
+        # dimension (the slab, a multiple of 128) satisfies lane tiling
+        # and ONE DMA per visit feeds all three contractions (a
+        # two-table split measured ~15% frame loss on short
+        # budget-bounded sweeps, round 4). One visit covers a SUPERGROUP
+        # of `group` consecutive leaf chunks (one contiguous slab):
+        # culling/ranking granularity is group*tc triangles (cheap prep
+        # at scale), compute granularity stays tc (the inner static loop
+        # below keeps the matmul intermediates small)
         c = order_ref[k // W, k % W]
-        return (pltpu.make_async_copy(
-                    tbl_a_hbm.at[:, pl.ds(c * group * 2 * tc, group * 2 * tc)],
-                    tbl_a_buf.at[slot], tbl_a_sem.at[slot]),
-                pltpu.make_async_copy(
-                    tbl_b_hbm.at[:, pl.ds(c * group * 3 * tc, group * 3 * tc)],
-                    tbl_b_buf.at[slot], tbl_b_sem.at[slot]))
-
-    def dma_start(k, slot):
-        a, b = dmas(k, slot)
-        a.start()
-        b.start()
-
-    def dma_wait(k, slot):
-        a, b = dmas(k, slot)
-        a.wait()
-        b.wait()
+        return pltpu.make_async_copy(
+            tbl_hbm.at[:, pl.ds(c * group * 5 * tc, group * 5 * tc)],
+            tbl_buf.at[slot], tbl_sem.at[slot])
 
     @pl.when(n > 0)
     def _sweep():
-        dma_start(0, 0)
+        dma(0, 0).start()
 
         # loop-invariant: triangle row index within a chunk (argmin helper)
         rows = jax.lax.broadcasted_iota(jnp.int32, (tc, fa.shape[1]), 0)
@@ -191,36 +186,37 @@ def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, fa_ref, fd_ref,
 
             @pl.when(k + 1 < n)
             def _prefetch():
-                dma_start(k + 1, 1 - slot)
+                dma(k + 1, 1 - slot).start()
 
-            dma_wait(k, slot)
+            dma(k, slot).wait()
 
             c = order_ref[k // W, k % W]
             for g in range(group):
                 # contract the feature axis (dim 0 of both operands): no
-                # transpose needed for the buffer layouts
+                # transpose needed for the buffer layout
                 dn = (((0,), (0,)), ((), ()))
-                base_a = g * 2 * tc
-                base_b = g * 3 * tc
+                base = g * 5 * tc
                 # The bf16 x bf16 contraction at DEFAULT precision is
                 # EXACT by construction: both operands are pre-split into
                 # bf16-exact parts with the product expansion along the K
-                # axis (geom/scene.py:_sweep_tables "split-exact" layout;
+                # axis (geom/scene.py:_sweep_table_fused "split-exact" layout;
                 # bf16 STORAGE of the parts is lossless — Mosaic's f32
                 # path truncates inputs to these very bf16 values), so
                 # ONE MXU pass accumulates the f32-accurate contraction —
                 # Precision.HIGHEST on f32 operands computes the same
                 # thing with 6 full output-streaming passes, measured
                 # 2.7x slower end-to-end.
+                # sd contracts against F_B directly: the sd columns' rows
+                # 18-39 are zero in the table, so F_B's w-part rows die —
+                # no separate [d parts] feature array is materialized
                 so_s = jax.lax.dot_general(
-                    tbl_a_buf[slot, :, base_a:base_a + tc], fa, dn,
+                    tbl_buf[slot, :, base:base + tc], fa, dn,
                     preferred_element_type=jnp.float32)   # (Tc, RB)
                 sd_s = jax.lax.dot_general(
-                    tbl_a_buf[slot, :, base_a + tc:base_a + 2 * tc],
-                    fd, dn,
+                    tbl_buf[slot, :, base + tc:base + 2 * tc], fb, dn,
                     preferred_element_type=jnp.float32)   # (Tc, RB)
                 s_n = jax.lax.dot_general(
-                    tbl_b_buf[slot, :, base_b:base_b + 3 * tc], fb, dn,
+                    tbl_buf[slot, :, base + 2 * tc:base + 5 * tc], fb, dn,
                     preferred_element_type=jnp.float32)   # (3Tc, RB)
                 # IEEE semantics replace the denominator guard: sd == 0
                 # gives t = +-inf (rejected by the range test) or NaN
@@ -267,7 +263,7 @@ def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, fa_ref, fd_ref,
         # flight; every started DMA must be awaited before the kernel ends
         @pl.when(k_final < n)
         def _drain():
-            dma_wait(k_final, jax.lax.rem(k_final, 2))
+            dma(k_final, jax.lax.rem(k_final, 2)).wait()
 
         # ---- winner fetch: pull each lane's winning-triangle data out of
         # the packed table with one one-hot MXU contraction per VISITED
@@ -317,7 +313,7 @@ def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, fa_ref, fd_ref,
                     for g in range(group):  # tile by g: onehot (Tc, RB)
                         gbase = (c * group + g) * tc
                         onehot = (rows_f + gbase
-                                  == bi_all).astype(jnp.bfloat16)
+                                  == bi_all).astype(tri_buf.dtype)
                         # the (48, T) bf16 tri table is stored split-exact
                         # (three bf16-exact part blocks, geom/scene.py
                         # :_tri_fetch_table), so ONE default-precision
@@ -633,17 +629,17 @@ def _v3_callable(chunk_size: int, ray_block: int, group: int, t_min: float,
     (the HBM-resident plane/order tables) cannot be batched by vmap."""
 
     @jax.custom_batching.custom_vmap
-    def impl(tbl_a, tbl_b, tri_t, chunk_lo, chunk_hi, origs, dirs, budget):
+    def impl(tbl_t, tri_t, chunk_lo, chunk_hi, origs, dirs, budget):
         return _trace_pallas_v3_impl(
-            tbl_a, tbl_b, tri_t, chunk_lo, chunk_hi, origs, dirs, budget,
+            tbl_t, tri_t, chunk_lo, chunk_hi, origs, dirs, budget,
             chunk_size=chunk_size, ray_block=ray_block, group=group,
             t_min=t_min, t_max=t_max, interpret=interpret)
 
     @impl.def_vmap
-    def _vmap_rule(axis_size, in_batched, tbl_a, tbl_b, tri_t, chunk_lo,
+    def _vmap_rule(axis_size, in_batched, tbl_t, tri_t, chunk_lo,
                    chunk_hi, origs, dirs, budget):
-        ta_b, tb_b, tri_b, lo_b, hi_b, o_b, d_b, b_b = in_batched
-        if ta_b or tb_b or tri_b or lo_b or hi_b:
+        tb_b, tri_b, lo_b, hi_b, o_b, d_b, b_b = in_batched
+        if tb_b or tri_b or lo_b or hi_b:
             raise NotImplementedError(
                 "pallas3 cannot batch over scenes; batch rays/poses only")
         o = origs if o_b else jnp.broadcast_to(
@@ -661,7 +657,7 @@ def _v3_callable(chunk_size: int, ray_block: int, group: int, t_min: float,
         # the front-to-back rank order serves every lane at once, so the
         # sweep terminates earlier. Exact: lanes are independent; this is a
         # permutation, inverted on the outputs.
-        t, tri = impl(tbl_a, tbl_b, tri_t, chunk_lo, chunk_hi,
+        t, tri = impl(tbl_t, tri_t, chunk_lo, chunk_hi,
                       o.transpose(1, 0, 2).reshape(-1, 3),
                       d.transpose(1, 0, 2).reshape(-1, 3),
                       b.transpose(1, 0).reshape(-1))
@@ -677,18 +673,18 @@ def _v3_callable(chunk_size: int, ray_block: int, group: int, t_min: float,
     static_argnames=("chunk_size", "ray_block", "group", "t_min", "t_max",
                      "interpret"),
 )
-def _trace_pallas_v3_impl(tbl_a, tbl_b, tri_t, chunk_lo, chunk_hi, origs,
+def _trace_pallas_v3_impl(tbl_t, tri_t, chunk_lo, chunk_hi, origs,
                           dirs, budget, *, chunk_size: int, ray_block: int,
                           group: int, t_min: float, t_max: float,
                           interpret: bool):
-    """tbl_a/tbl_b: bf16 intersection tables in the kernel DMA layout
-    (SWEEP_K_A, C*2*Tc) / (SWEEP_K, C*3*Tc) (geom/scene.py:_sweep_tables);
-    tri_t: the (48, C*Tc) bf16 packed winner-fetch table — all
-    scene-constant, precomputed by Scene.device_arrays (geom/scene.py) or
-    derived once in trace_pallas_v3. chunk_lo/hi are already padded to a
-    multiple of `group` there."""
+    """tbl_t: bf16 fused intersection table in the kernel DMA layout
+    (SWEEP_K, C*5*Tc) (geom/scene.py:_sweep_table_fused); tri_t: the
+    (48, C*Tc) bf16 packed winner-fetch table — all scene-constant,
+    precomputed by Scene.device_arrays (geom/scene.py) or derived once in
+    trace_pallas_v3. chunk_lo/hi are already padded to a multiple of
+    `group` there."""
     tc = chunk_size
-    C = tbl_a.shape[1] // (2 * tc)
+    C = tbl_t.shape[1] // (5 * tc)
     R = origs.shape[0]
     RB = ray_block
     pad = (-R) % RB
@@ -704,11 +700,11 @@ def _trace_pallas_v3_impl(tbl_a, tbl_b, tri_t, chunk_lo, chunk_hi, origs,
     sg_hi = chunk_hi.reshape(C2, group, 3).max(axis=1)
 
     # per-ray feature matrices for the kernel's skinny matmuls, in the
-    # split-exact slot layout matching geom/scene.py:_sweep_tables:
+    # split-exact slot layout matching geom/scene.py:_sweep_table_fused:
     # F_A = [o parts, 1], F_D = [d parts], F_B = [d parts, (o x d) parts]
     # (o x d are the ray line's Pluecker moment coords), all bf16.
     # Shaped (K, R'): the BlockSpec slices ray columns per block.
-    fa, fd, fb = _sweep_features(o, d)
+    fa, fb = _sweep_features(o, d, dtype=tbl_t.dtype)
 
     # per-block front-to-back SUPERGROUP ranking + entries, via the fused
     # Pallas prep kernel (_prep_kernel): the pure-XLA formulation of this
@@ -763,16 +759,13 @@ def _trace_pallas_v3_impl(tbl_a, tbl_b, tri_t, chunk_lo, chunk_hi, origs,
             pl.BlockSpec(memory_space=pltpu.SMEM),   # nvisit (B, 1)
             pl.BlockSpec(memory_space=pltpu.HBM),    # order (B, Cp)
             pl.BlockSpec(memory_space=pltpu.HBM),    # ranked entries (B, Cp)
-            pl.BlockSpec((SWEEP_K_A, RB), lambda i: (0, i),
+            pl.BlockSpec((SWEEP_K, RB), lambda i: (0, i),
                          memory_space=pltpu.VMEM),   # F_A (split-exact)
-            pl.BlockSpec((SWEEP_K_A, RB), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),   # F_D (split-exact)
             pl.BlockSpec((SWEEP_K, RB), lambda i: (0, i),
                          memory_space=pltpu.VMEM),   # F_B (split-exact)
             pl.BlockSpec((1, 1, RB), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),   # t_last
-            pl.BlockSpec(memory_space=pltpu.HBM),    # so/sd table (bf16)
-            pl.BlockSpec(memory_space=pltpu.HBM),    # edge table (bf16)
+            pl.BlockSpec(memory_space=pltpu.HBM),    # fused table (bf16)
             pl.BlockSpec(memory_space=pltpu.HBM),    # tri fetch table (bf16)
         ],
         out_specs=[
@@ -789,11 +782,9 @@ def _trace_pallas_v3_impl(tbl_a, tbl_b, tri_t, chunk_lo, chunk_hi, origs,
             pltpu.SMEM((8, Cp // 8), jnp.int32),       # this block's order
             pltpu.SMEM((8, Cp // 8), jnp.float32),     # this block's entries
             pltpu.SemaphoreType.DMA((2,)),             # order/entry DMA
-            pltpu.VMEM((2, SWEEP_K_A, group * 2 * tc), jnp.bfloat16),
+            pltpu.VMEM((2, SWEEP_K, group * 5 * tc), tbl_t.dtype),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((2, SWEEP_K, group * 3 * tc), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((2, 48, group * tc), jnp.bfloat16),    # tri dbl buf
+            pltpu.VMEM((2, 48, group * tc), tri_t.dtype),     # tri dbl buf
             pltpu.SemaphoreType.DMA((2,)),
             # the winning GLOBAL triangle index is only needed inside the
             # kernel (it drives the winner-fetch one-hot); scratch, not out
@@ -802,7 +793,7 @@ def _trace_pallas_v3_impl(tbl_a, tbl_b, tri_t, chunk_lo, chunk_hi, origs,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
-    )(nvisit, order, entry_pad, fa, fd, fb, t_last, tbl_a, tbl_b, tri_t)
+    )(nvisit, order, entry_pad, fa, fb, t_last, tbl_t, tri_t)
 
     tri = tri_rows.transpose(0, 2, 1).reshape(-1, 16)[:R]
     return best_t.reshape(-1)[:R], tri
@@ -921,19 +912,17 @@ def trace_pallas_v3(scene, origs, dirs, t_min: float = 0.0,
     chunk_hi = jnp.asarray(scene.chunk_aabb_hi)
     C = chunk_lo.shape[0]
     pad_c = (-C) % group
-    tbl_a = getattr(scene, "sweep_a_t", None)
-    tbl_b = getattr(scene, "sweep_b_t", None)
-    if tbl_a is not None and tbl_b is not None and pad_c == 0:
+    tbl_t = getattr(scene, "sweep_table_t", None)
+    if tbl_t is not None and pad_c == 0:
         # scene-constant kernel layout, precomputed on host (the on-the-fly
         # relayout of the ~160 MB table dominated large-scene trace time)
-        tbl_a = jnp.asarray(tbl_a)
-        tbl_b = jnp.asarray(tbl_b)
+        tbl_t = jnp.asarray(tbl_t)
     else:
         # fallback for hand-built SceneArrays or non-dividing prep_group:
         # the SAME builder the host precompute uses (geom/scene.py), run in
         # jnp (parity covered by
         # tests/test_trace.py::test_pallas_v3_nondividing_group_...)
-        from radarays_ros_tpu.geom.scene import _sweep_tables
+        from radarays_ros_tpu.geom.scene import _sweep_table_fused
 
         planes_o = jnp.asarray(scene.planes_o)
         if pad_c:
@@ -942,7 +931,7 @@ def trace_pallas_v3(scene, origs, dirs, t_min: float = 0.0,
             planes_o = jnp.concatenate(
                 [planes_o, jnp.zeros((pad_c * 4 * chunk_size, 4),
                                      jnp.float32)], axis=0)
-        tbl_a, tbl_b = _sweep_tables(planes_o, chunk_size, xp=jnp)
+        tbl_t = _sweep_table_fused(planes_o, chunk_size, xp=jnp)
     aux_baked = isinstance(tri_aux, str)
     if aux_baked and tri_aux != "baked":
         raise ValueError(f"tri_aux must be an array or 'baked', got {tri_aux!r}")
@@ -953,7 +942,7 @@ def trace_pallas_v3(scene, origs, dirs, t_min: float = 0.0,
             # pad the triangle axis with never-fetched zeros (the matching
             # pad chunks have zero planes and are never entered)
             tri_t = jnp.concatenate(
-                [tri_t, jnp.zeros((48, pad_c * chunk_size), jnp.bfloat16)],
+                [tri_t, jnp.zeros((48, pad_c * chunk_size), tri_t.dtype)],
                 axis=1)
     else:
         if aux_baked:
@@ -967,7 +956,7 @@ def trace_pallas_v3(scene, origs, dirs, t_min: float = 0.0,
             scene.verts, scene.normals, scene.obj_ids, xp=xp))
         if pad_c:
             tri_t = jnp.concatenate(
-                [tri_t, jnp.zeros((48, pad_c * chunk_size), jnp.bfloat16)],
+                [tri_t, jnp.zeros((48, pad_c * chunk_size), tri_t.dtype)],
                 axis=1)
     if tri_aux is not None and not aux_baked:
         # caller-provided per-triangle values ride the kernel's winner-fetch
@@ -981,7 +970,7 @@ def trace_pallas_v3(scene, origs, dirs, t_min: float = 0.0,
         if pad_c:
             aux_row = jnp.concatenate(
                 [aux_row, jnp.zeros((pad_c * chunk_size,), jnp.float32)])
-        a0, a1, a2 = (p.astype(jnp.bfloat16)
+        a0, a1, a2 = (p.astype(tri_t.dtype)
                       for p in _bf16_parts(aux_row, jnp))
         tri_t = tri_t.at[13, :].set(a0).at[29, :].set(a1).at[45, :].set(a2)
     if pad_c:
@@ -998,8 +987,8 @@ def trace_pallas_v3(scene, origs, dirs, t_min: float = 0.0,
     sg = jax.lax.stop_gradient
 
     def run(o_r, d_r, b_r):
-        return impl(sg(tbl_a), sg(tbl_b), sg(tri_t), sg(chunk_lo),
-                    sg(chunk_hi), o_r, d_r, b_r)
+        return impl(sg(tbl_t), sg(tri_t), sg(chunk_lo), sg(chunk_hi),
+                    o_r, d_r, b_r)
 
     def permute(key, o_r, d_r, b_r):
         """Stable multi-operand sort of the ray set by `key` (a permutation

@@ -120,19 +120,18 @@ def test_median_split_order_quality(tris):
     assert mean_leaf_volume(o_c) <= mean_leaf_volume(o_np) * 1.10
 
 
-def test_sweep_tables_parity(tris):
-    from radarays_ros_tpu.geom.scene import _sweep_tables, _triangle_planes
+def test_sweep_table_parity(tris):
+    from radarays_ros_tpu.geom.scene import (_sweep_table_fused,
+                                             _triangle_planes)
     from radarays_ros_tpu.native import builder
 
     _, po, _ = _triangle_planes(tris)
-    a1, b1 = builder.sweep_tables(po, 8)
-    a2, b2 = _sweep_tables(po, 8)
-    assert a1.shape == a2.shape and b1.shape == b2.shape
-    assert a1.dtype == a2.dtype and b1.dtype == b2.dtype
+    t1 = builder.sweep_table_fused(po, 8)
+    t2 = _sweep_table_fused(po, 8)
+    assert t1.shape == t2.shape and t1.dtype == t2.dtype
     # bit-exact: the split-exact bf16 parts must agree between the C++ and
     # NumPy builders (the Makefile pins -ffp-contract=off for this)
-    np.testing.assert_array_equal(a1.view(np.uint16), a2.view(np.uint16))
-    np.testing.assert_array_equal(b1.view(np.uint16), b2.view(np.uint16))
+    np.testing.assert_array_equal(t1.view(np.uint16), t2.view(np.uint16))
 
 
 def test_tri_table_parity(tris):

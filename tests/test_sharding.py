@@ -135,9 +135,8 @@ def test_shard_scene_arrays_layout(setup):
     tc = int(st.chunk_size)
     per = st.chunk_aabb_lo.shape[1]
     assert st.verts.shape == (n, per * tc, 3, 3)
-    from radarays_ros_tpu.geom.scene import SWEEP_K, SWEEP_K_A
-    assert st.sweep_a_t.shape == (n, SWEEP_K_A, per * 2 * tc)
-    assert st.sweep_b_t.shape == (n, SWEEP_K, per * 3 * tc)
+    from radarays_ros_tpu.geom.scene import SWEEP_K
+    assert st.sweep_table_t.shape == (n, SWEEP_K, per * 5 * tc)
     assert st.tri_table_t.shape == (n, 48, per * tc)
     # the first shard's leading chunks are the original leading chunks
     np.testing.assert_array_equal(
