@@ -51,13 +51,73 @@ def ensure_native() -> bool:
     except (subprocess.SubprocessError, OSError) as e:
         _log(f"bench: native build failed ({e}); NumPy fallback")
         return False
-    # the module caches the failed probe: reset and retry
-    builder._TRIED = False
-    builder._LIB = None
+    builder.reset_probe()  # forget the cached failed probe, retry
     return builder.available()
 
 
-def build_benchmark(n_buildings: int, extent: float = 300.0):
+def parity_check(n_buildings: int = 16600, n_rays: int = 131072,
+                 **trace_kwargs) -> dict:
+    """Hardware exactness gate: pallas3 vs the exact `culled` oracle.
+
+    Two consecutive rounds shipped kernels that were silently wrong ON
+    HARDWARE ONLY (round 3: bf16 matmul truncation; round 4: XLA
+    excess-precision elision of the traced split parts) while the entire
+    CPU/interpret suite stayed green. This stage is the one guard that
+    catches that class (CLAUDE.md), so it runs inside every bench and its
+    verdict ships in the headline JSON. ~200k-triangle urban scene,
+    131k-ray coherent radar fan, exact-match contract on hit/t/obj
+    (tests/test_trace.py's engine contract, run on the real device).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from radarays_ros_tpu.geom.primitives import make_urban_scene
+    from radarays_ros_tpu.geom.scene import Scene
+    from radarays_ros_tpu.trace.api import trace
+
+    rng = np.random.default_rng(0)
+    A = 400
+    S = n_rays // A
+    az = np.repeat(np.linspace(0, 2 * np.pi, A, endpoint=False), S)
+    el = np.tile(rng.normal(0, 0.06, S), A)
+    d = np.stack([np.cos(el) * np.cos(az), np.cos(el) * np.sin(az),
+                  np.sin(el)], -1).astype(np.float32)
+    o = np.broadcast_to(np.array([0, 0, 2.0], np.float32), d.shape).copy()
+
+    parts, names = make_urban_scene(n_buildings=n_buildings, extent=140.0,
+                                    seed=11)
+    sa = jax.device_put(Scene.compose(parts, names,
+                                      chunk_size=256).device_arrays())
+    o_j, d_j = jnp.asarray(o), jnp.asarray(d)
+
+    @jax.jit
+    def both(sa, o_j, d_j):
+        # scene as ARGUMENT, not closure — closed-over tables get inlined
+        # into the compile payload (hundreds of MB; the relay 413s)
+        rp = trace(sa, o_j, d_j, engine="pallas3", ray_block=2048,
+                   **trace_kwargs)
+        rc = trace(sa, o_j, d_j, engine="culled", k_chunks=None)
+        return (rp.hit, rp.t, rp.obj_id, rc.hit, rc.t, rc.obj_id)
+
+    ph, pt, po, ch, ct, co = [np.asarray(x) for x in both(sa, o_j, d_j)]
+    common = ph & ch
+    hit_mm = int((ph != ch).sum())
+    obj_mm = int((po[common] != co[common]).sum())
+    max_dt = float(np.abs(pt[common] - ct[common]).max()) if common.any() \
+        else 0.0
+    return {
+        "n_triangles": int(sa.verts.shape[0]),
+        "n_rays": n_rays,
+        "hit_rate": round(float(ph.mean()), 4),
+        "hit_mismatches": hit_mm,
+        "obj_mismatches_on_common_hits": obj_mm,
+        "max_abs_dt_on_common_hits": max_dt,
+        "exact": bool(hit_mm == 0 and obj_mm == 0 and max_dt == 0.0),
+    }
+
+
+def build_benchmark(n_buildings: int, extent: float = 300.0,
+                    cfg_overrides: dict | None = None):
     import jax
 
     from radarays_ros_tpu.geom.primitives import make_urban_scene
@@ -107,6 +167,8 @@ def build_benchmark(n_buildings: int, extent: float = 300.0):
         trace_aux_baked=True,  # material map baked below (sim/radar.py does
         #   the same); skips the per-jit-call (T,) gather + table copy
     )
+    if cfg_overrides:
+        cfg = cfg.replace(**cfg_overrides)
     key = jax.random.PRNGKey(0)
     from radarays_ros_tpu.geom.scene import bake_tri_aux
 
@@ -120,7 +182,8 @@ def build_benchmark(n_buildings: int, extent: float = 300.0):
 
 
 def measure_scale(n_buildings: int, n_iters: int = 7, batch: int = 20,
-                  extent: float = 300.0, n_stream: int = 10):
+                  extent: float = 300.0, n_stream: int = 10,
+                  cfg_overrides: dict | None = None):
     """Frame throughput at one scene scale, two fetch-forced protocols.
 
     NOTE on methodology: through the axon relay, block_until_ready() does
@@ -146,7 +209,8 @@ def measure_scale(n_buildings: int, n_iters: int = 7, batch: int = 20,
     from radarays_ros_tpu.sim.pipeline import simulate_frames_jit
     from radarays_ros_tpu.utils.transforms import make_pose
 
-    scene, params, cfg, key = build_benchmark(n_buildings, extent=extent)
+    scene, params, cfg, key = build_benchmark(n_buildings, extent=extent,
+                                              cfg_overrides=cfg_overrides)
     scene = jax.device_put(scene)
     params = jax.device_put(params)
     pose = jnp.asarray(make_pose([0.0, 0.0, 2.0]))
@@ -203,7 +267,18 @@ def main():
     ensure_native()
 
     wall0 = time.perf_counter()
-    # HEADLINE first — nothing may run before it that could eat the
+    # EXACTNESS GATE before anything is published: pallas3 vs the exact
+    # oracle on the real device. This is the only check that catches
+    # hardware-only numeric defects (two shipped in rounds 3-4); its
+    # verdict rides inside the headline JSON so every BENCH_rN records it.
+    try:
+        par = parity_check()
+        _log(f"bench: parity {json.dumps(par)}")
+    except Exception as e:  # pragma: no cover - defensive for the driver
+        par = {"error": str(e)[:300], "exact": False}
+        _log(f"bench: parity stage FAILED: {e}")
+
+    # HEADLINE next — nothing else may run before it that could eat the
     # driver's wall clock: the ~1M-triangle KAIST-scale scene
     big_stream, big_best, big_tmed, big_tris, cfg = measure_scale(
         n_buildings=83000)
@@ -214,6 +289,7 @@ def main():
         "value": round(big_stream, 3),
         "unit": "Hz",
         "vs_baseline": round(big_stream / 4.0, 3),
+        "parity": par,
         "extra": {
             "protocol": "sustained streaming throughput: 10 batches of 20 "
                         "frames dispatched back-to-back (varied inputs), "

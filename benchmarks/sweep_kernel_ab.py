@@ -40,41 +40,13 @@ def radar_fan(n_rays: int, seed: int = 0):
 
 
 def parity(n_buildings=16600, n_rays=131072):
-    import jax
-    import jax.numpy as jnp
+    # the parity core lives in bench.py (it gates every bench run and its
+    # verdict ships inside each BENCH_rN headline JSON); this stage is the
+    # standalone wrapper for manual A/B sessions
+    from bench import parity_check
 
-    from radarays_ros_tpu.geom.primitives import make_urban_scene
-    from radarays_ros_tpu.geom.scene import Scene
-    from radarays_ros_tpu.trace.api import trace
-
-    parts, names = make_urban_scene(n_buildings=n_buildings, extent=140.0,
-                                    seed=11)
-    sa = jax.device_put(Scene.compose(parts, names,
-                                      chunk_size=256).device_arrays())
-    o, d = radar_fan(n_rays)
-    o_j, d_j = jnp.asarray(o), jnp.asarray(d)
-
-    @jax.jit
-    def both(sa, o_j, d_j):
-        # the scene is an ARGUMENT, not a closure — closed-over scene
-        # tables get inlined into the compile payload (hundreds of MB;
-        # the relay rejects the request with HTTP 413)
-        rp = trace(sa, o_j, d_j, engine="pallas3", ray_block=2048)
-        rc = trace(sa, o_j, d_j, engine="culled", k_chunks=None)
-        return (rp.hit, rp.t, rp.obj_id, rc.hit, rc.t, rc.obj_id)
-
-    ph, pt, po, ch, ct, co = [np.asarray(x) for x in both(sa, o_j, d_j)]
-    common = ph & ch
-    out = {
-        "stage": "parity",
-        "n_triangles": int(sa.verts.shape[0]),
-        "n_rays": n_rays,
-        "hit_rate": float(ph.mean()),
-        "hit_mismatches": int((ph != ch).sum()),
-        "max_abs_dt_on_common_hits": float(
-            np.abs(pt[common] - ct[common]).max()) if common.any() else 0.0,
-        "obj_mismatches_on_common_hits": int((po[common] != co[common]).sum()),
-    }
+    out = {"stage": "parity",
+           **parity_check(n_buildings=n_buildings, n_rays=n_rays)}
     print(json.dumps(out), flush=True)
     return out
 

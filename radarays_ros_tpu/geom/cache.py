@@ -16,12 +16,15 @@ patterns (the npz format cannot represent ml_dtypes dtypes portably).
 from __future__ import annotations
 
 import hashlib
+import logging
 import os
 import tempfile
 from pathlib import Path
 from typing import Optional
 
 import numpy as np
+
+_log = logging.getLogger(__name__)
 
 # bump when the SceneArrays field set / table layouts change — round 4
 # introduced the bf16 fused sweep-table layout (v5: single fused table
@@ -30,6 +33,21 @@ LAYOUT_VERSION = 5
 
 # bf16 leaves stored as uint16 bit patterns
 _BF16_FIELDS = ("sweep_table_t", "tri_table_t")
+
+# SceneArrays fields that may legitimately be absent (the tracer derives
+# them on the fly); a MISSING required field means the entry was written
+# by an older layout under an unbumped version — treat as a cache miss,
+# never serve a half-populated SceneArrays
+_OPTIONAL_FIELDS = ("sweep_table_t", "tri_table_t")
+
+# Total cache size cap. One 1M-triangle entry is ~0.6 GB and one
+# 10M-triangle entry ~5-6 GB (the fused (40, 5T) bf16 sweep table alone
+# is ~4 GB), so a handful of procedural benchmark scenes can fill a home
+# directory. After every store, least-recently-USED entries (atime when
+# available, mtime otherwise; load_scene_arrays touches entries on hit)
+# are evicted until the directory fits. Override with
+# RADARAYS_SCENE_CACHE_MAX_GB (float, 0 disables eviction).
+DEFAULT_MAX_GB = 24.0
 
 
 def default_cache_dir() -> Path:
@@ -45,8 +63,16 @@ def scene_cache_key(verts: np.ndarray, obj_ids: np.ndarray,
 
     The builder flavor (native/numpy) is part of the key: both produce
     EXACT tables, but their median-split orderings differ at partition
-    ties, so entries are not interchangeable bit-for-bit.
+    ties, so entries are not interchangeable bit-for-bit. For the native
+    flavor the .so's own table version (native.builder.builder_version())
+    is folded in too, so a builder.cpp change that alters table contents
+    (e.g. median-split tie-breaking) invalidates entries even without a
+    LAYOUT_VERSION bump.
     """
+    if builder_flavor == "native":
+        from radarays_ros_tpu.native import builder as native_builder
+
+        builder_flavor = f"native-b{native_builder.builder_version()}"
     h = hashlib.sha256()
     h.update(f"v{LAYOUT_VERSION}|{chunk_size}|{builder_flavor}|"
              f"{verts.shape}|{obj_ids.shape}|".encode())
@@ -75,13 +101,23 @@ def load_scene_arrays(key: str, cache_dir: Optional[Path] = None):
                     if name in _BF16_FIELDS:
                         arr = arr.view(ml_dtypes.bfloat16)
                     fields[name] = arr
-                else:
+                elif name in _OPTIONAL_FIELDS:
                     fields[name] = None
-            return SceneArrays(**fields)
+                else:
+                    # required field absent: written by an older field set
+                    # under an unbumped LAYOUT_VERSION — a cache MISS, not
+                    # a half-populated hit
+                    return None
+            sa = SceneArrays(**fields)
     except Exception:
         # corrupt/stale entry (e.g. truncated write on an old crash):
         # fall back to a fresh build; the store() below overwrites it
         return None
+    try:  # refresh mtime: LRU eviction treats this entry as just-used
+        os.utime(path)
+    except OSError:
+        pass
+    return sa
 
 
 def store_scene_arrays(key: str, sa, cache_dir: Optional[Path] = None) -> Path:
@@ -108,4 +144,44 @@ def store_scene_arrays(key: str, sa, cache_dir: Optional[Path] = None) -> Path:
         if os.path.exists(tmp):
             os.unlink(tmp)
         raise
+    _log.info("scene cache: wrote %s (%.2f GB)", path.name,
+              path.stat().st_size / 1e9)
+    _evict_to_cap(d, keep=path)
     return path
+
+
+def _evict_to_cap(d: Path, keep: Optional[Path] = None) -> None:
+    """Evict least-recently-used entries until the cache fits its cap.
+
+    Cap: RADARAYS_SCENE_CACHE_MAX_GB (default DEFAULT_MAX_GB; 0 or a
+    negative value disables eviction). The just-written entry (`keep`) is
+    never evicted, so one over-cap scene still caches.
+    """
+    try:
+        cap_gb = float(os.environ.get("RADARAYS_SCENE_CACHE_MAX_GB",
+                                      str(DEFAULT_MAX_GB)))
+    except ValueError:
+        cap_gb = DEFAULT_MAX_GB
+    if cap_gb <= 0:
+        return
+    cap = int(cap_gb * 1e9)
+    try:
+        entries = [(p.stat().st_mtime, p.stat().st_size, p)
+                   for p in d.glob("*.npz")]
+    except OSError:
+        return
+    total = sum(sz for _, sz, _ in entries)
+    if total <= cap:
+        return
+    for _, sz, p in sorted(entries):  # oldest mtime first
+        if total <= cap:
+            break
+        if keep is not None and p == keep:
+            continue
+        try:
+            p.unlink()
+            total -= sz
+            _log.info("scene cache: evicted %s (%.2f GB) to fit the "
+                      "%.1f GB cap", p.name, sz / 1e9, cap_gb)
+        except OSError:
+            pass

@@ -191,9 +191,14 @@ def _sweep_tables(planes_o, chunk_size: int, xp=np):
     oracle's inside test e_k >= -eps becomes the division-free, sign-safe
         N_k * sd + eps * sd^2 >= 0.
     5 output rows per triangle instead of the naive 8 (so+sd for all 4
-    planes) — the sweep's dominant VMEM stream. Keeping the K=24 so/sd
-    contraction separate from the K=40 edge contraction (two tables)
-    saves ~16% MXU work vs one K=40 layout.
+    planes) — the sweep's dominant VMEM stream. HISTORICAL NOTE: keeping
+    the K=24 so/sd contraction separate from the K=40 edge contraction
+    (these two tables) saves ~16% MXU FLOPs on paper, but the MXU is not
+    the bottleneck — the SHIPPED path is _sweep_table_fused below (one
+    K=40 slab, ONE DMA per chunk visit), which measured equal-or-better
+    at frame level (round 4: K=40 vs K=24 ±0; two-DMA split ~15% worse
+    on short sweeps). This two-table builder remains as the layout
+    derivation and for the v4-layout tests.
 
     Physically, every coefficient is laid out split-exact (see
     _SPLIT_PAIRS above): coefficient slots hold bf16-exact parts paired
@@ -424,11 +429,14 @@ class Scene:
         dominates startup), off below; True/False force it. Disable
         globally with RADARAYS_SCENE_CACHE_DISABLE=1.
         """
+        import logging
         import os
+        import time
 
         from radarays_ros_tpu.geom import cache as scache
         from radarays_ros_tpu.native import builder as native_builder
 
+        log = logging.getLogger(__name__)
         verts, obj_ids = self.verts, self.obj_ids
         if self.n_triangles == 0:
             raise ValueError("empty scene")
@@ -444,7 +452,13 @@ class Scene:
                                          flavor)
             hit = scache.load_scene_arrays(key)
             if hit is not None:
+                log.info("scene tables: cache hit (%s, %d triangles)",
+                         key[:12], hit.verts.shape[0])
                 return hit
+            log.info("scene tables: cache miss — building %d triangles "
+                     "(%s builder; a cold 10M-tri build takes ~1.5 min "
+                     "native / ~10 min NumPy)", self.n_triangles, flavor)
+        t0 = time.perf_counter()
 
         # pad FIRST (far degenerate triangles cluster into their own
         # leaves), so the median split can keep every leaf exactly full.
@@ -472,6 +486,8 @@ class Scene:
                  else _median_split_order(centers, self.chunk_size))
         verts = np.ascontiguousarray(verts[order])
         obj_ids = np.ascontiguousarray(obj_ids[order])
+        t1 = time.perf_counter()
+        log.info("scene tables: median-split ordering %.1fs", t1 - t0)
 
         if native_builder.available():
             normals, planes_o, planes_d = native_builder.triangle_planes(verts)
@@ -481,6 +497,8 @@ class Scene:
             chunks = verts.reshape(C, self.chunk_size, 3, 3)
             lo = chunks.min(axis=(1, 2))
             hi = chunks.max(axis=(1, 2))
+        t2 = time.perf_counter()
+        log.info("scene tables: planes + chunk AABBs %.1fs", t2 - t1)
 
         if native_builder.available():
             sweep_t = native_builder.sweep_table_fused(
@@ -489,6 +507,9 @@ class Scene:
         else:
             sweep_t = _sweep_table_fused(planes_o, self.chunk_size)
             tri_t = _tri_fetch_table(verts, normals, obj_ids)
+        log.info("scene tables: split-exact sweep/fetch tables %.1fs "
+                 "(%.2f GB)", time.perf_counter() - t2,
+                 (sweep_t.nbytes + tri_t.nbytes) / 1e9)
         sa = SceneArrays(
             verts=verts,
             obj_ids=obj_ids,

@@ -465,6 +465,42 @@ def cmd_render(args) -> int:
     return 0
 
 
+def cmd_prime_cache(args) -> int:
+    """Build + persist a mesh's scene tables so later runs start warm.
+
+    The reference's Embree map import is seconds-fast
+    (src/radar_simulator.cpp:149); our split-exact kernel tables cost
+    ~1.5 native-builder minutes cold at 10M triangles. This command pays
+    that cost once: it builds the tables with the on-disk cache forced on
+    (geom/cache.py) and prints the entry path/size, so `cli simulate`
+    then loads them in seconds (np.load) at any scale.
+    """
+    import time as _time
+
+    from radarays_ros_tpu.geom import cache as scache
+    from radarays_ros_tpu.native import builder as native_builder
+
+    scene = _load_scene(args)
+    flavor = "native" if native_builder.available() else "numpy"
+    key = scache.scene_cache_key(scene.verts, scene.obj_ids,
+                                 scene.chunk_size, flavor)
+    path = scache.default_cache_dir() / f"{key}.npz"
+    if path.exists() and not args.force:
+        print(f"already primed: {path} "
+              f"({path.stat().st_size / 1e9:.2f} GB)")
+        return 0
+    t0 = _time.perf_counter()
+    sa = scene.device_arrays(cache=True)
+    dt = _time.perf_counter() - t0
+    if not path.exists():
+        print(f"built tables in {dt:.1f}s but the cache entry was not "
+              f"written (disk full / read-only cache dir?)", file=sys.stderr)
+        return 1
+    print(f"primed {scene.n_triangles} triangles ({sa.n_chunks} chunks) "
+          f"in {dt:.1f}s -> {path} ({path.stat().st_size / 1e9:.2f} GB)")
+    return 0
+
+
 def _common(p: argparse.ArgumentParser):
     p.add_argument("--mesh", required=True,
                    help="scene mesh (.ply/.obj/.stl/.dae)")
@@ -521,6 +557,16 @@ def build_parser() -> argparse.ArgumentParser:
     info = sub.add_parser("info", help="mesh/scene statistics")
     _common(info)
     info.set_defaults(fn=cmd_info)
+
+    pc = sub.add_parser(
+        "prime-cache",
+        help="build + persist a mesh's scene tables (warm-start cache)")
+    pc.add_argument("--mesh", required=True,
+                    help="scene mesh (.ply/.obj/.stl/.dae)")
+    pc.add_argument("--chunk-size", type=int, default=256)
+    pc.add_argument("--force", action="store_true",
+                    help="rebuild even if the entry already exists")
+    pc.set_defaults(fn=cmd_prime_cache)
 
     opt = sub.add_parser("optimize",
                          help="fit material properties to a target frame")
@@ -632,6 +678,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    import logging
+
+    # surface the scene-build stage logs (geom/scene.py, geom/cache.py):
+    # a cold 10M-triangle table build is minutes of host work that used
+    # to pass in silence
+    logging.basicConfig(level=logging.INFO,
+                        format="%(levelname)s %(name)s: %(message)s")
     args = build_parser().parse_args(argv)
     return args.fn(args)
 

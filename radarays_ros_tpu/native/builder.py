@@ -49,6 +49,11 @@ def _lib():
             fp, fp, ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, u16p]
         lib.rr_tri_table.restype = None
         i64p = ctypes.POINTER(ctypes.c_int64)
+        try:  # absent from pre-round-5 .so builds: fall back to the
+            lib.rr_builder_version.argtypes = []  # Python-side constant
+            lib.rr_builder_version.restype = ctypes.c_int64
+        except AttributeError:
+            pass
         lib.rr_obj_count.argtypes = [ctypes.c_char_p, i64p, i64p, i64p]
         lib.rr_obj_count.restype = ctypes.c_int
         lib.rr_obj_parse.argtypes = [
@@ -62,6 +67,34 @@ def _lib():
 
 
 _WARNED = False
+
+# Fallback table-content version when the loaded .so predates the
+# rr_builder_version export (or the NumPy path is in use — it mirrors the
+# native semantics, but carries its own cache-key flavor). Keep in sync
+# with builder.cpp:rr_builder_version.
+BUILDER_VERSION = 1
+
+
+def builder_version() -> int:
+    """Table-content version of the active native builder.
+
+    Folded into the scene-cache key so a builder.cpp change that alters
+    produced table bytes (e.g. median-split tie-breaking) invalidates
+    cached entries without needing a geom/cache.py LAYOUT_VERSION bump.
+    """
+    lib = _lib()
+    if lib is not None and hasattr(lib, "rr_builder_version"):
+        return int(lib.rr_builder_version())
+    return BUILDER_VERSION
+
+
+def reset_probe() -> None:
+    """Forget the cached load attempt so the next available()/_lib() call
+    re-probes the shared library (used after building the .so mid-process,
+    e.g. bench.py's ensure_native)."""
+    global _LIB, _TRIED
+    _LIB = None
+    _TRIED = False
 
 
 def available() -> bool:

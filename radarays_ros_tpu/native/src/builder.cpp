@@ -21,6 +21,14 @@
 
 extern "C" {
 
+// Version of the TABLE-CONTENT semantics of this builder (median-split
+// tie-breaking, plane layout, bf16 split scheme, ...). Bump on any change
+// that alters produced bytes: it is folded into the on-disk scene-cache
+// key (geom/cache.py:scene_cache_key), so stale cached tables are never
+// served after a builder change. Keep in sync with the fallback constant
+// in native/builder.py.
+int64_t rr_builder_version(void) { return 1; }
+
 // Top-down longest-axis median split into leaves of exactly chunk_size
 // triangles (the permutation geom/scene.py:_median_split_order computes in
 // NumPy; C++ nth_element is ~10x faster at 1M triangles). Requires

@@ -190,6 +190,13 @@ class RadarModelConfig:
     # on dense scenes whose image-range budgets already bound the sweep —
     # set it for sparse scenes where later-bounce rays often escape.
     trace_two_phase_cap: Optional[float] = None
+    # pallas3 winner-row argmin placement (VERDICT r4 #4 VPU levers):
+    # "visit" = classic per-visit argmin; "gated" = argmin only on visits
+    # that improve some lane; "defer" = argmin recovered in the gated
+    # winner-fetch pass (the sweep tracks only best_t + best chunk).
+    # All three are EXACT with identical tie-breaks
+    # (tests/test_trace.py::test_pallas_v3_argmin_mode_bit_parity).
+    trace_argmin_mode: str = "visit"
 
     def denoiser(self) -> Tuple[Optional[np.ndarray], int]:
         """Use-time denoise kernel + mode (see image/denoise.py)."""

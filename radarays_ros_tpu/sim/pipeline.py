@@ -138,6 +138,9 @@ def _bounce(cfg: RadarModelConfig, params: RadarParams, scene: SceneArrays,
         **({"two_phase_cap": cfg.trace_two_phase_cap}
            if engine == "pallas3" and cfg.trace_two_phase_cap is not None
            else {}),
+        **({"argmin_mode": cfg.trace_argmin_mode}
+           if engine == "pallas3" and cfg.trace_argmin_mode != "visit"
+           else {}),
         **({"tri_chunk": cfg.trace_tri_chunk} if engine == "mxu" else {}),
         **({"k_chunks": cfg.trace_k_chunks} if engine == "culled" else {}),
     )

@@ -101,7 +101,8 @@ def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, fa_ref, fb_ref,
                      order_ref, entry_ref, idx_sem,
                      tbl_buf, tbl_sem, tri_buf, tri_sem,
                      best_idx_ref, *,
-                     tc: int, group: int, t_min: float, t_max: float):
+                     tc: int, group: int, t_min: float, t_max: float,
+                     argmin_mode: str = "visit"):
     """v3: ordered chunk sweep with early termination and HBM->VMEM DMA.
 
     Per ray block, chunks are walked front-to-back (order_ref, ranked by the
@@ -124,12 +125,35 @@ def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, fa_ref, fb_ref,
     (geom/scene.py:_sweep_table): two skinny matmuls produce (2*Tc, RB)
     [so; sd] against the split-exact [o, 1, d] features and (3*Tc, RB)
     edge numerators N_k against the split-exact [d, o x d] features; the
-    inside test is the division-free N_k * sd + eps * sd^2 >= 0. The
-    5-output-rows-per-triangle form (instead of the naive 8) keeps the
-    per-visit VMEM output stream minimal, and the split-exact K=40
-    contraction makes ONE default-precision MXU pass f32-exact (see
-    geom/scene.py:_SPLIT_PAIRS — Mosaic's bf16 input truncation corrupted
-    hits and object ids on hardware before round 3).
+    inside test is the division-free N_k * sd + eps * sd^2 >= 0,
+    evaluated as min_k(N_k * sd) + eps * sd^2 >= 0 — ONE add + compare
+    after a 2-op min chain instead of three of each (bit-identical:
+    f32 multiply is weakly monotone in one operand, so
+    min_k fl(N_k * sd) == fl((sd > 0 ? min_k N_k : max_k N_k) * sd) and
+    the conjunction of the three >= tests equals the min test; NaN rows
+    propagate through the min and fail the compare exactly as each
+    individual test did). The 5-output-rows-per-triangle form (instead
+    of the naive 8) keeps the per-visit VMEM output stream minimal, and
+    the split-exact K=40 contraction makes ONE default-precision MXU
+    pass f32-exact (see geom/scene.py:_SPLIT_PAIRS — Mosaic's bf16 input
+    truncation corrupted hits and object ids on hardware before round 3).
+
+    argmin_mode — where the winner's ROW index is computed (VERDICT r4
+    #4: the per-visit argmin is ~3 of the ~20 VPU ops on every (Tc, RB)
+    visit tile of the 55%-VPU-bound sweep):
+      * "visit" — classic: min + argmin every visit (round 2-4 behavior).
+      * "gated" — argmin + winner updates only on visits where some lane
+        improves (pl.when(any(better))): front-to-back sweeps improve
+        mostly in the first visits, later ones pay one scalar sync
+        instead of 3 (Tc, RB) ops.
+      * "defer" — the sweep tracks only (best_t, best CHUNK) per lane
+        ((1, RB) updates); the winner-fetch pass re-contracts the few
+        winner-holding chunks' slabs and recovers the row argmin there,
+        where the any()-gate already concentrates work. Every visit
+        saves the 3 argmin ops; each winner chunk pays one extra slab
+        contraction + ~10 VPU ops in the fetch.
+    All three are EXACT with identical tie-breaks (earliest visited
+    chunk at strict improvement; lowest row within a chunk).
     """
     i = pl.program_id(0)
 
@@ -223,14 +247,14 @@ def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, fa_ref, fb_ref,
                 # (so == 0 too; every comparison rejects NaN)
                 t = -so_s / sd_s
                 # inside test in edge-numerator form: N_k * sd + eps * sd^2
-                # >= 0  <=>  e_k >= -eps (see geom/scene.py:_sweep_table)
+                # >= 0  <=>  e_k >= -eps (see geom/scene.py:_sweep_table),
+                # as ONE min-chain test (bit-identical; docstring)
                 meps = _INSIDE_EPS * (sd_s * sd_s)
-                inside = (
-                    (s_n[0:tc] * sd_s + meps >= 0.0)
-                    & (s_n[tc:2 * tc] * sd_s + meps >= 0.0)
-                    & (s_n[2 * tc:3 * tc] * sd_s + meps >= 0.0)
-                )
-                hit = inside & (t >= t_min) & (t <= t_max)
+                pmin = jnp.minimum(
+                    jnp.minimum(s_n[0:tc] * sd_s, s_n[tc:2 * tc] * sd_s),
+                    s_n[2 * tc:3 * tc] * sd_s)
+                hit = ((pmin + meps >= 0.0)
+                       & (t >= t_min) & (t <= t_max))
                 t_masked = jnp.where(hit, t, jnp.inf)             # (Tc, RB)
                 # NOTE: a single packed (t-rounded, row) min-reduce was
                 # measured ~1 ms/trace faster here but picks the FARTHER of
@@ -238,15 +262,35 @@ def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, fa_ref, fb_ref,
                 # rejected: every engine must match the brute oracle
                 # exactly (tests/test_trace.py).
                 local_t = jnp.min(t_masked, axis=0, keepdims=True)
-                local_i = jnp.min(
-                    jnp.where(t_masked == local_t, rows, _BIG_IDX),
-                    axis=0, keepdims=True)
                 better = local_t[None] < best_t_ref[:]
-                best_t_ref[:] = jnp.where(better, local_t[None],
-                                          best_t_ref[:])
-                best_idx_ref[:] = jnp.where(
-                    better, ((c * group + g) * tc + local_i)[None],
-                    best_idx_ref[:])
+
+                if argmin_mode == "defer":
+                    # winner ROW recovery moves to the gated fetch pass;
+                    # track only (best_t, best fine-chunk index) per lane
+                    best_t_ref[:] = jnp.where(better, local_t[None],
+                                              best_t_ref[:])
+                    best_idx_ref[:] = jnp.where(
+                        better, jnp.int32(c * group + g), best_idx_ref[:])
+                elif argmin_mode == "gated":
+                    @pl.when(jnp.any(better))
+                    def _update():
+                        local_i = jnp.min(
+                            jnp.where(t_masked == local_t, rows, _BIG_IDX),
+                            axis=0, keepdims=True)
+                        best_t_ref[:] = jnp.where(better, local_t[None],
+                                                  best_t_ref[:])
+                        best_idx_ref[:] = jnp.where(
+                            better, ((c * group + g) * tc + local_i)[None],
+                            best_idx_ref[:])
+                else:  # "visit"
+                    local_i = jnp.min(
+                        jnp.where(t_masked == local_t, rows, _BIG_IDX),
+                        axis=0, keepdims=True)
+                    best_t_ref[:] = jnp.where(better, local_t[None],
+                                              best_t_ref[:])
+                    best_idx_ref[:] = jnp.where(
+                        better, ((c * group + g) * tc + local_i)[None],
+                        best_idx_ref[:])
 
             # early termination: ranked entries are non-decreasing, so the
             # next entry bounds every remaining chunk's entry; a lane vetoes
@@ -288,7 +332,14 @@ def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, fa_ref, fb_ref,
 
         @pl.when(k_final > 0)
         def _fetch():
+            defer = argmin_mode == "defer"
             tri_dma(0, 0).start()
+            if defer:
+                # re-stream the sweep slabs too (tbl_buf/tbl_sem are free
+                # once the sweep drained): the deferred row-argmin needs
+                # each winner chunk's t_masked recomputed here. Slab
+                # traffic is negligible; the recompute itself is gated.
+                dma(0, 0).start()
             rows_f = jax.lax.broadcasted_iota(
                 jnp.int32, (tc, fa.shape[1]), 0)
             bi_all = best_idx_ref[0, 0, :]
@@ -300,20 +351,77 @@ def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, fa_ref, fb_ref,
                 @pl.when(k + 1 < k_final)
                 def _pref():
                     tri_dma(k + 1, 1 - slot).start()
+                    if defer:
+                        dma(k + 1, 1 - slot).start()
 
                 tri_dma(k, slot).wait()
+                if defer:
+                    dma(k, slot).wait()
                 c = order_ref[k // W, k % W]
-                lo_t = c * group * tc
-                inrange = ((bi_all >= lo_t) & (bi_all < lo_t + group * tc)
-                           & live)
+                if defer:  # bi_all holds fine-CHUNK indices
+                    inrange = ((bi_all >= c * group)
+                               & (bi_all < (c + 1) * group) & live)
+                else:      # bi_all holds global TRIANGLE indices
+                    lo_t = c * group * tc
+                    inrange = ((bi_all >= lo_t)
+                               & (bi_all < lo_t + group * tc) & live)
 
                 @pl.when(jnp.any(inrange))
                 def _acc():
                     dn = (((1,), (0,)), ((), ()))
+                    dn0 = (((0,), (0,)), ((), ()))
                     for g in range(group):  # tile by g: onehot (Tc, RB)
-                        gbase = (c * group + g) * tc
-                        onehot = (rows_f + gbase
-                                  == bi_all).astype(tri_buf.dtype)
+                        if defer:
+                            inchunk = (bi_all == c * group + g) & live
+                            # recompute this chunk's t_masked with the
+                            # IDENTICAL op sequence as the sweep (same
+                            # inputs, deterministic -> same bits), then
+                            # recover the deferred row argmin: lowest row
+                            # matching the lane's final best_t
+                            base = g * 5 * tc
+                            so_s = jax.lax.dot_general(
+                                tbl_buf[slot, :, base:base + tc], fa, dn0,
+                                preferred_element_type=jnp.float32)
+                            sd_s = jax.lax.dot_general(
+                                tbl_buf[slot, :, base + tc:base + 2 * tc],
+                                fb, dn0,
+                                preferred_element_type=jnp.float32)
+                            s_n = jax.lax.dot_general(
+                                tbl_buf[slot, :,
+                                        base + 2 * tc:base + 5 * tc],
+                                fb, dn0,
+                                preferred_element_type=jnp.float32)
+                            t = -so_s / sd_s
+                            meps = _INSIDE_EPS * (sd_s * sd_s)
+                            pmin = jnp.minimum(
+                                jnp.minimum(s_n[0:tc] * sd_s,
+                                            s_n[tc:2 * tc] * sd_s),
+                                s_n[2 * tc:3 * tc] * sd_s)
+                            hit = ((pmin + meps >= 0.0)
+                                   & (t >= t_min) & (t <= t_max))
+                            t_masked = jnp.where(hit, t, jnp.inf)
+                            local_i = jnp.min(
+                                jnp.where(t_masked == best_t_ref[0],
+                                          rows_f, _BIG_IDX),
+                                axis=0, keepdims=True)
+                            onehot = ((rows_f == local_i)
+                                      & inchunk[None, :]).astype(
+                                          tri_buf.dtype)
+                            sel = inchunk
+                        else:
+                            gbase = (c * group + g) * tc
+                            onehot = (rows_f + gbase
+                                      == bi_all).astype(tri_buf.dtype)
+                            # SELECT by each lane's winner-in-this-chunk,
+                            # not accumulate-across-visits: same cost, and
+                            # the fetch stays correct under DUPLICATE chunk
+                            # visits (an accumulating fetch adds the
+                            # winner's row once per visit — the round-3
+                            # paired-sweep experiment hit exactly that:
+                            # doubled triangle rows, ~2x refined t, hits
+                            # silently lost past their budgets)
+                            sel = (bi_all >= gbase) & (bi_all < gbase + tc)\
+                                & live
                         # the (48, T) bf16 tri table is stored split-exact
                         # (three bf16-exact part blocks, geom/scene.py
                         # :_tri_fetch_table), so ONE default-precision
@@ -324,15 +432,6 @@ def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, fa_ref, fb_ref,
                         c48 = jax.lax.dot_general(
                             tri_buf[slot, :, g * tc:(g + 1) * tc], onehot,
                             dn, preferred_element_type=jnp.float32)
-                        # SELECT by each lane's winner-in-this-chunk, not
-                        # accumulate-across-visits: same cost, and the
-                        # fetch stays correct under DUPLICATE chunk visits
-                        # (an accumulating fetch adds the winner's row once
-                        # per visit — the round-3 paired-sweep experiment
-                        # hit exactly that: doubled triangle rows, ~2x
-                        # refined t, hits silently lost past their budgets)
-                        sel = (bi_all >= gbase) & (bi_all < gbase + tc) \
-                            & live
                         tri_ref[0] = jnp.where(
                             sel[None, :],
                             c48[0:16] + c48[16:32] + c48[32:48],
@@ -623,7 +722,7 @@ def _run_prep_kernel(lo, hi, o_aug, inv_d_t, bud_b, *, Cp: int, RB: int,
 
 
 def _v3_callable(chunk_size: int, ray_block: int, group: int, t_min: float,
-                 t_max: float, interpret: bool):
+                 t_max: float, interpret: bool, argmin_mode: str = "visit"):
     """Build the v3 impl with a custom vmap rule: batched rays flatten into
     the ray axis (rays are independent), because Pallas ANY-space operands
     (the HBM-resident plane/order tables) cannot be batched by vmap."""
@@ -633,7 +732,8 @@ def _v3_callable(chunk_size: int, ray_block: int, group: int, t_min: float,
         return _trace_pallas_v3_impl(
             tbl_t, tri_t, chunk_lo, chunk_hi, origs, dirs, budget,
             chunk_size=chunk_size, ray_block=ray_block, group=group,
-            t_min=t_min, t_max=t_max, interpret=interpret)
+            t_min=t_min, t_max=t_max, interpret=interpret,
+            argmin_mode=argmin_mode)
 
     @impl.def_vmap
     def _vmap_rule(axis_size, in_batched, tbl_t, tri_t, chunk_lo,
@@ -671,12 +771,12 @@ def _v3_callable(chunk_size: int, ray_block: int, group: int, t_min: float,
 @functools.partial(
     jax.jit,
     static_argnames=("chunk_size", "ray_block", "group", "t_min", "t_max",
-                     "interpret"),
+                     "interpret", "argmin_mode"),
 )
 def _trace_pallas_v3_impl(tbl_t, tri_t, chunk_lo, chunk_hi, origs,
                           dirs, budget, *, chunk_size: int, ray_block: int,
                           group: int, t_min: float, t_max: float,
-                          interpret: bool):
+                          interpret: bool, argmin_mode: str = "visit"):
     """tbl_t: bf16 fused intersection table in the kernel DMA layout
     (SWEEP_K, C*5*Tc) (geom/scene.py:_sweep_table_fused); tri_t: the
     (48, C*Tc) bf16 packed winner-fetch table — all scene-constant,
@@ -750,7 +850,7 @@ def _trace_pallas_v3_impl(tbl_t, tri_t, chunk_lo, chunk_hi, origs,
 
     kernel = functools.partial(
         _trace_kernel_v3, tc=tc, group=group,
-        t_min=float(t_min), t_max=float(t_max))
+        t_min=float(t_min), t_max=float(t_max), argmin_mode=argmin_mode)
 
     best_t, tri_rows = pl.pallas_call(
         kernel,
@@ -848,6 +948,7 @@ def trace_pallas_v3(scene, origs, dirs, t_min: float = 0.0,
                     t_budget=None, prep_group: int | None = None,
                     tri_aux=None, sort_rays: bool = False,
                     two_phase_cap: float | None = None,
+                    argmin_mode: str = "visit",
                     interpret: bool | None = None, **_ignored):
     """v3 Pallas trace: front-to-back sweep + early termination + HBM DMA.
 
@@ -884,7 +985,13 @@ def trace_pallas_v3(scene, origs, dirs, t_min: float = 0.0,
     bookkeeping); big win on incoherent/miss-heavy sets, neutral-to-
     harmful on coherent radar fans whose image-range budgets already
     bound the sweep.
+    argmin_mode: where the winner's row argmin is computed — "visit"
+    (every sweep visit, classic), "gated" (only on visits that improve
+    some lane) or "defer" (recovered inside the gated winner-fetch pass).
+    All exact with identical tie-breaks (_trace_kernel_v3 docstring).
     """
+    if argmin_mode not in ("visit", "gated", "defer"):
+        raise ValueError(f"unknown argmin_mode {argmin_mode!r}")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     chunk_size = scene.verts.shape[0] // scene.chunk_aabb_lo.shape[0]
@@ -902,7 +1009,7 @@ def trace_pallas_v3(scene, origs, dirs, t_min: float = 0.0,
         raise ValueError(f"ray_block must be a multiple of 128, got {ray_block}")
     group = prep_group or _auto_prep_group(scene.chunk_aabb_lo.shape[0])
     impl = _v3_callable(chunk_size, ray_block, group, float(t_min),
-                        float(t_max), interpret)
+                        float(t_max), interpret, argmin_mode)
     origs = jnp.asarray(origs)
     dirs = jnp.asarray(dirs)
     budget = (jnp.full(origs.shape[:-1], t_max, jnp.float32)

@@ -274,3 +274,61 @@ def test_scene_cache_roundtrip(tmp_path, monkeypatch):
     files[0].write_bytes(b"garbage")
     repaired = scene.device_arrays(cache=True)
     np.testing.assert_array_equal(repaired.verts, fresh.verts)
+
+
+def test_scene_cache_missing_required_field_is_miss(tmp_path, monkeypatch):
+    """An entry missing a REQUIRED SceneArrays field (older field set under
+    an unbumped layout version) must be a cache miss, never a
+    half-populated hit (ADVICE r4)."""
+    from radarays_ros_tpu.geom import cache
+
+    monkeypatch.setenv("RADARAYS_SCENE_CACHE", str(tmp_path / "scenes"))
+    rng = np.random.default_rng(3)
+    tris = rng.uniform(-5, 5, (64, 3, 3)).astype(np.float32)
+    scene = Scene(tris, np.zeros(64, np.int32), chunk_size=16)
+    fresh = scene.device_arrays(cache=True)
+
+    (path,) = (tmp_path / "scenes").glob("*.npz")
+    with np.load(path) as z:
+        stripped = {k: z[k] for k in z.files if k != "normals"}
+    np.savez(path, **stripped)
+    key = path.stem
+    assert cache.load_scene_arrays(key) is None  # required field gone
+
+    # a missing OPTIONAL field is still a valid (degraded) hit
+    full = {n: (np.asarray(v).view(np.uint16)
+                if n in cache._BF16_FIELDS else np.asarray(v))
+            for n, v in zip(fresh._fields, fresh)
+            if v is not None and n != "sweep_table_t"}
+    np.savez(path, **full)
+    hit = cache.load_scene_arrays(key)
+    assert hit is not None and hit.sweep_table_t is None
+    np.testing.assert_array_equal(hit.normals, fresh.normals)
+
+
+def test_scene_cache_lru_eviction(tmp_path, monkeypatch):
+    """Over-cap caches evict least-recently-used entries after a store,
+    never the entry just written (ADVICE r4)."""
+    from radarays_ros_tpu.geom import cache
+
+    d = tmp_path / "scenes"
+    monkeypatch.setenv("RADARAYS_SCENE_CACHE", str(d))
+    rng = np.random.default_rng(5)
+
+    def build(seed):
+        tris = rng.uniform(-5, 5, (128, 3, 3)).astype(np.float32)
+        scene = Scene(tris, np.zeros(128, np.int32), chunk_size=16)
+        return scene.device_arrays(cache=True)
+
+    build(0)
+    first = {p.name for p in d.glob("*.npz")}
+    # cap below one entry's size: each store evicts every OTHER entry
+    monkeypatch.setenv("RADARAYS_SCENE_CACHE_MAX_GB", "1e-9")
+    build(1)
+    names = {p.name for p in d.glob("*.npz")}
+    assert len(names) == 1 and not (names & first)  # old evicted, new kept
+
+    # cap <= 0 disables eviction entirely
+    monkeypatch.setenv("RADARAYS_SCENE_CACHE_MAX_GB", "0")
+    build(2)
+    assert len(list(d.glob("*.npz"))) == 2

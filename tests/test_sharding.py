@@ -166,7 +166,7 @@ def test_scene_sharded_frame_matches_single_device(setup):
 def test_scene_sharded_trace_combine_exact(setup, rng):
     """Trace-level check on an urban scene: shard_map over the scene axis +
     combine == unsharded trace, bit-for-bit on hits/t/obj."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     from radarays_ros_tpu.geom.primitives import make_urban_scene
