@@ -102,6 +102,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    jax.config.update("jax_compilation_cache_dir",
+                      str(Path(__file__).resolve().parent.parent
+                          / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from radarays_ros_tpu.geom.primitives import make_urban_scene
     from radarays_ros_tpu.geom.scene import Scene
     from radarays_ros_tpu.trace.api import trace

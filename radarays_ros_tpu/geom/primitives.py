@@ -149,17 +149,28 @@ def make_urban_scene(n_buildings=60, extent=120.0, seed=0, ground=True):
     return parts, names
 
 
+def _rot_z(tris: np.ndarray, yaw: float, about) -> np.ndarray:
+    """Rotate a (T, 3, 3) triangle soup around the z axis through `about`."""
+    c, s = np.cos(yaw), np.sin(yaw)
+    R = np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]], np.float32)
+    a = np.asarray([about[0], about[1], 0.0], np.float32)
+    return ((tris - a) @ R.T + a).astype(np.float32)
+
+
 def make_canyon_scene(n_blocks=8, street_w=18.0, block_len=40.0, seed=0,
-                      extent=None):
+                      extent=None, clutter=1.0):
     """Dense urban-canyon scene: continuous building facades along a street
-    grid with the sensor at a crossing, plus street furniture (poles).
+    grid with the sensor at a crossing, plus street-level clutter.
 
     The KAIST02-class regime for the published-figure comparison
     (docs/EVAL_VS_PUBLISHED.md): unlike the sparse box-town of
-    make_urban_scene, nearly every azimuth meets facades at several ranges
-    and multi-bounce corners, so the polar frame's return fraction lands
-    near the reference sim panel's (~0.15) instead of ~0.03. Object 0 is
-    the ground; facades and poles follow. Returns (parts, names).
+    make_urban_scene, nearly every azimuth meets facades at several
+    ranges/corners AND street-level scatterers — parked cars (yawed
+    boxes), trees (trunk + random-facet canopy) and bush/fence clutter
+    strips, the content class that fills the reference's scanned KAIST02
+    mesh. `clutter` scales the scatterer density (0 = facades+poles
+    only). Object 0 is the ground; facades/cars/trees/poles follow.
+    Returns (parts, names).
     """
     rng = np.random.default_rng(seed)
     parts = []
@@ -211,4 +222,60 @@ def make_canyon_scene(n_blocks=8, street_w=18.0, block_len=40.0, seed=0,
         parts.append(make_cylinder((x, y, 2.5), radius=0.15, height=5.0,
                                    segments=6))
         names.append(f"pole_{i}")
+
+    def street_spot():
+        along = rng.uniform(-half, half)
+        line = coords[rng.integers(0, len(coords))]
+        off = rng.uniform(-street_w * 0.45, street_w * 0.45)
+        return (along, line + off) if rng.random() < 0.5 \
+            else (line + off, along)
+
+    # parked cars: yawed boxes hugging the street edges — each contributes
+    # a few bright facets at its own range/azimuth
+    for i in range(int(clutter * n_blocks * 14)):
+        x, y = street_spot()
+        if x * x + y * y < 6.0**2:
+            continue
+        L, W_, H = rng.uniform(3.6, 5.2), rng.uniform(1.6, 2.0), \
+            rng.uniform(1.3, 1.8)
+        yaw = rng.uniform(0, np.pi)
+        parts.append(_rot_z(make_box((x, y, H / 2.0), (L, W_, H)), yaw,
+                            (x, y)))
+        names.append(f"car_{i}")
+    # trees: trunk + a canopy of random-orientation facets; the canopy is
+    # the vegetation-speckle content class of scanned urban meshes —
+    # facets at every orientation return at every incidence angle
+    for i in range(int(clutter * n_blocks * 10)):
+        x, y = street_spot()
+        if x * x + y * y < 7.0**2:
+            continue
+        parts.append(make_cylinder((x, y, 1.5), radius=0.22, height=3.0,
+                                   segments=5))
+        names.append(f"trunk_{i}")
+        r_c = rng.uniform(1.2, 2.6)
+        n_f = int(rng.integers(24, 48))
+        ctr = np.array([x, y, 3.0 + r_c * 0.7], np.float32)
+        pos = ctr + rng.normal(0, r_c * 0.5, (n_f, 3)).astype(np.float32)
+        a = rng.normal(0, 0.5, (n_f, 3)).astype(np.float32)
+        b = rng.normal(0, 0.5, (n_f, 3)).astype(np.float32)
+        canopy = np.stack([pos, pos + a, pos + b], axis=1)
+        parts.append(canopy.astype(np.float32))
+        names.append(f"canopy_{i}")
+    # bush/fence strips: low jittered facet rows along facade feet
+    for i in range(int(clutter * n_blocks * 6)):
+        x, y = street_spot()
+        if x * x + y * y < 6.0**2:
+            continue
+        n_f = int(rng.integers(10, 20))
+        along_dir = rng.random() < 0.5
+        ts = np.arange(n_f, dtype=np.float32) * 0.7
+        px = x + (ts if along_dir else rng.normal(0, 0.3, n_f))
+        py = y + (rng.normal(0, 0.3, n_f) if along_dir else ts)
+        pos = np.stack([px, py, rng.uniform(0.2, 0.9, n_f)],
+                       axis=1).astype(np.float32)
+        a = rng.normal(0, 0.45, (n_f, 3)).astype(np.float32)
+        b = rng.normal(0, 0.45, (n_f, 3)).astype(np.float32)
+        parts.append(np.stack([pos, pos + a, pos + b], axis=1)
+                     .astype(np.float32))
+        names.append(f"bush_{i}")
     return parts, names

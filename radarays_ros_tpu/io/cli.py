@@ -358,6 +358,27 @@ def cmd_explore(args) -> int:
 
     from radarays_ros_tpu.viz import explore
 
+    if getattr(args, "interactive", False):
+        # live slider explorers — the reference's matplotlib prototypes
+        # (scripts/radarays_snell_fresnel_brdf.py, scripts/reflections/,
+        # scripts/radaray_beams.py) as interactive tools
+        fn = explore._INTERACTIVE.get(args.panel)
+        if fn is None:
+            print(f"panel {args.panel!r} has no interactive mode "
+                  f"(available: {sorted(explore._INTERACTIVE)})",
+                  file=sys.stderr)
+            return 2
+        if args.panel == "brdf":
+            fig, _ = fn(args.ambient, args.diffuse, args.specular)
+        elif args.panel == "fresnel":
+            fig, _ = fn(args.v1, args.v2, args.polarization)
+        else:
+            fig, _ = fn(args.beam_width, args.n_samples, args.p_in_cone,
+                        args.seed)
+        import matplotlib.pyplot as plt
+        plt.show()
+        return 0
+
     plot = bool(args.plot)
     if args.panel == "brdf":
         data, fig = explore.panel_brdf(args.ambient, args.diffuse,
@@ -617,6 +638,9 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["brdf", "fresnel", "slab", "beams"])
     ex.add_argument("--json", help="write the panel data as JSON here")
     ex.add_argument("--plot", help="write a rendered figure (PNG) here")
+    ex.add_argument("--interactive", action="store_true",
+                    help="open a live slider explorer (brdf/fresnel/beams; "
+                         "needs a GUI matplotlib backend)")
     # brdf: the back-reflection polynomial's material triple
     ex.add_argument("--ambient", type=float, default=1.0)
     ex.add_argument("--diffuse", type=float, default=0.2)

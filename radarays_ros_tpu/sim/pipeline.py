@@ -139,8 +139,7 @@ def _bounce(cfg: RadarModelConfig, params: RadarParams, scene: SceneArrays,
            if engine == "pallas3" and cfg.trace_two_phase_cap is not None
            else {}),
         **({"argmin_mode": cfg.trace_argmin_mode}
-           if engine == "pallas3" and cfg.trace_argmin_mode != "visit"
-           else {}),
+           if engine == "pallas3" else {}),
         **({"tri_chunk": cfg.trace_tri_chunk} if engine == "mxu" else {}),
         **({"k_chunks": cfg.trace_k_chunks} if engine == "culled" else {}),
     )

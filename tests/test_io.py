@@ -230,6 +230,34 @@ def test_cli_info(tiny_mesh_file, capsys):
     assert "walls" in out
 
 
+def test_cli_prime_cache(tiny_mesh_file, tmp_path, monkeypatch, capsys):
+    """prime-cache builds + persists the scene tables once (cold), then
+    reports the existing entry (warm) — the warm-start path a cold 10M
+    `cli simulate` user primes ahead of time (VERDICT r4 #7)."""
+    from radarays_ros_tpu.io.cli import main
+
+    monkeypatch.setenv("RADARAYS_SCENE_CACHE", str(tmp_path / "scenes"))
+    rc = main(["prime-cache", "--mesh", str(tiny_mesh_file),
+               "--chunk-size", "8"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "primed" in out and ".npz" in out
+    entries = list((tmp_path / "scenes").glob("*.npz"))
+    assert len(entries) == 1
+
+    rc = main(["prime-cache", "--mesh", str(tiny_mesh_file),
+               "--chunk-size", "8"])
+    assert rc == 0
+    assert "already primed" in capsys.readouterr().out
+
+    # --force rebuilds in place
+    rc = main(["prime-cache", "--mesh", str(tiny_mesh_file),
+               "--chunk-size", "8", "--force"])
+    assert rc == 0
+    assert "primed" in capsys.readouterr().out
+    assert len(list((tmp_path / "scenes").glob("*.npz"))) == 1
+
+
 def test_cli_simulate_writes_frames(tiny_mesh_file, tmp_path, capsys):
     from radarays_ros_tpu.io.cli import main
     from radarays_ros_tpu.sim.config import RadarModelConfig

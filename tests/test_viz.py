@@ -196,6 +196,48 @@ def test_explore_cli(tmp_path):
     assert "reflectance" in data and "refraction_angle_deg" in data
 
 
+def test_interactive_explorers_drive_sliders():
+    """The live slider explorers (cli explore --interactive) recompute
+    through the SAME wave/ physics on slider moves — driven headlessly by
+    programmatic set_val (Agg backend; widgets still dispatch)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    from radarays_ros_tpu.viz import explore
+
+    fig, _upd = explore.interactive_brdf(1.0, 0.2, 30.0)
+    (line,) = fig.axes[0].lines
+    before = np.array(line.get_ydata(), float)
+    s_amb = fig._sliders[0]
+    s_amb.set_val(1.7)  # raises the constant term everywhere
+    after = np.array(line.get_ydata(), float)
+    assert np.all(after >= before - 1e-6) and after[0] > before[0] + 0.4
+
+    fig2, _ = explore.interactive_fresnel(0.3, 0.15, 0.5)
+    l_r = fig2.axes[0].lines[0]
+    r_before = np.array(l_r.get_ydata(), float)
+    fig2._sliders[1].set_val(0.0)  # v2 -> 0: everything reflects
+    r_after = np.array(l_r.get_ydata(), float)
+    assert not np.allclose(r_before, r_after)
+    np.testing.assert_allclose(r_after, 1.0, atol=1e-3)
+
+    fig3, _ = explore.interactive_beams(8.0, n_samples=200)
+    sc = fig3.axes[0].collections[0]
+    before3 = sc.get_offsets().data.copy()
+    fig3._sliders[0].set_val(20.0)  # wider cone -> wider spread
+    after3 = sc.get_offsets().data
+    assert np.abs(after3).max() > np.abs(before3).max() * 1.5
+
+    import matplotlib.pyplot as plt
+    plt.close("all")
+
+
+def test_explore_interactive_cli_rejects_slab():
+    from radarays_ros_tpu.io.cli import main
+
+    rc = main(["explore", "--panel", "slab", "--interactive"])
+    assert rc == 2
+
+
 def test_polar_to_cartesian_geometry():
     """A bright cell at range r, azimuth column a lands at
     (r cos th_a, r sin th_a) in the view (x up, y left; th_a = -2pi a/A),
