@@ -13,6 +13,7 @@ median-split leaf chunks + AABBs for the culled tracers.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import NamedTuple, Optional, Sequence
 
 import numpy as np
@@ -316,6 +317,101 @@ def _median_split_order(centers: np.ndarray, chunk_size: int) -> np.ndarray:
     return out
 
 
+def _median_split_order_sah(centers: np.ndarray, tri_lo: np.ndarray,
+                            tri_hi: np.ndarray, chunk_size: int) -> np.ndarray:
+    """SAH-scored variant of _median_split_order (same leaf contract).
+
+    At every node, instead of fixing (longest centroid axis, median), ALL
+    3 axes x ALL chunk_size-multiple split positions are scored with the
+    surface-area heuristic cost  SA(left)*n_left + SA(right)*n_right,
+    where the child AABBs come from prefix/suffix min-max scans of the
+    per-TRIANGLE AABBs (tri_lo/tri_hi, so the score reflects the real
+    chunk AABBs the sweep will slab-test, not centroid extents).
+
+    Classic presorted full-sweep build: ONE stable sort per axis at the
+    root; every node then carries its triangle set sorted by all 3 axes,
+    and children inherit each sorted order by a stable boolean-mask
+    filter (O(m) per axis per node), so the whole build is
+    O(n log n) — ~2 s host time at 1M triangles, amortized by the scene
+    cache. Bit-identical to the native C++ builder
+    (native/src/builder.cpp:rr_sah_split_order, pinned by
+    tests/test_native.py).
+
+    Motivation (round 5): the sweep kernel is ~72% of frame device time
+    and its cost is visits x chunk_size lanes; median-split already took
+    a representative block from 110 overlapped chunks to 11 (round 2),
+    and tighter leaf AABBs cut the remaining visits directly. Leaves are
+    exactly chunk_size by the same induction as _median_split_order.
+    """
+    n = centers.shape[0]
+    assert n % chunk_size == 0
+    out = np.empty(n, np.int64)
+    pos = 0
+    member = np.zeros(n, bool)               # reusable left-flag scratch
+    stack = [tuple(np.argsort(centers[:, ax], kind="stable")
+                   for ax in range(3))]
+    while stack:
+        axs = stack.pop()
+        m = axs[0].shape[0]
+        if m <= chunk_size:
+            out[pos:pos + m] = axs[0]
+            pos += m
+            continue
+        n_pos = m // chunk_size - 1          # candidate split positions
+        hs = np.arange(1, n_pos + 1) * chunk_size
+        best = None
+        for ax in range(3):
+            lo_o = tri_lo[axs[ax]]
+            hi_o = tri_hi[axs[ax]]
+            # prefix (left child) and suffix (right child) AABBs
+            pl_lo = np.minimum.accumulate(lo_o, axis=0)
+            pl_hi = np.maximum.accumulate(hi_o, axis=0)
+            sf_lo = np.minimum.accumulate(lo_o[::-1], axis=0)[::-1]
+            sf_hi = np.maximum.accumulate(hi_o[::-1], axis=0)[::-1]
+            dl = pl_hi[hs - 1] - pl_lo[hs - 1]          # (P, 3)
+            dr = sf_hi[hs] - sf_lo[hs]
+            sa_l = dl[:, 0] * dl[:, 1] + dl[:, 1] * dl[:, 2] \
+                + dl[:, 2] * dl[:, 0]
+            sa_r = dr[:, 0] * dr[:, 1] + dr[:, 1] * dr[:, 2] \
+                + dr[:, 2] * dr[:, 0]
+            cost = sa_l * hs + sa_r * (m - hs)
+            j = int(np.argmin(cost))
+            if best is None or cost[j] < best[0]:
+                best = (float(cost[j]), ax, int(hs[j]))
+        _, bax, h = best
+        left_ids = axs[bax][:h]
+        member[left_ids] = True
+        left = tuple(a[member[a]] for a in axs)
+        right = tuple(a[~member[a]] for a in axs)
+        member[left_ids] = False
+        stack.append(right)
+        stack.append(left)
+    return out
+
+
+def ordering_variant() -> str:
+    """Active chunk-ordering variant: "sah" (default since round 5 —
+    SAH-scored splits cut slab-kept chunks/ray ~30% and measured +9%
+    frame Hz / +18% marginal Mrays/s at 1M tris, benchmarks/order_ab.py)
+    or "median" (the round-2..4 longest-axis median split), selected by
+    RADARAYS_ORDER_VARIANT."""
+    return os.environ.get("RADARAYS_ORDER_VARIANT", "sah")
+
+
+def cache_flavor(variant: Optional[str] = None) -> str:
+    """Scene-cache key flavor for the active builder + ordering variant
+    (shared by Scene.device_arrays and `cli prime-cache` so both always
+    address the SAME cache entry)."""
+    from radarays_ros_tpu.native import builder as native_builder
+
+    if variant is None:
+        variant = ordering_variant()
+    flavor = "native" if native_builder.available() else "numpy"
+    if variant != "median":
+        flavor = f"{flavor}-{variant}"
+    return flavor
+
+
 def _tri_fetch_table(verts, normals, obj_ids, xp=np):
     """(48, T) BF16 packed triangle data for the in-kernel winner fetch
     (see SceneArrays.tri_table_t), SPLIT-EXACT: the 16 semantic rows
@@ -430,7 +526,6 @@ class Scene:
         globally with RADARAYS_SCENE_CACHE_DISABLE=1.
         """
         import logging
-        import os
         import time
 
         from radarays_ros_tpu.geom import cache as scache
@@ -445,9 +540,10 @@ class Scene:
             cache = self.n_triangles >= 200_000
         if os.environ.get("RADARAYS_SCENE_CACHE_DISABLE", "0") == "1":
             cache = False
+        variant = ordering_variant()
         key = None
         if cache:
-            flavor = "native" if native_builder.available() else "numpy"
+            flavor = cache_flavor(variant)
             key = scache.scene_cache_key(verts, obj_ids, self.chunk_size,
                                          flavor)
             hit = scache.load_scene_arrays(key)
@@ -481,13 +577,26 @@ class Scene:
             )
 
         centers = verts.mean(axis=1)
-        order = (native_builder.median_split_order(centers, self.chunk_size)
-                 if native_builder.available()
-                 else _median_split_order(centers, self.chunk_size))
+        if variant == "sah":
+            # native and NumPy SAH are bit-identical (tests/test_native.py)
+            # so the cache flavor need not distinguish them
+            order = (native_builder.sah_split_order(
+                         centers, verts.min(axis=1), verts.max(axis=1),
+                         self.chunk_size)
+                     if native_builder.available()
+                     and native_builder.has_sah_split()
+                     else _median_split_order_sah(
+                         centers, verts.min(axis=1), verts.max(axis=1),
+                         self.chunk_size))
+        else:
+            order = (native_builder.median_split_order(centers,
+                                                       self.chunk_size)
+                     if native_builder.available()
+                     else _median_split_order(centers, self.chunk_size))
         verts = np.ascontiguousarray(verts[order])
         obj_ids = np.ascontiguousarray(obj_ids[order])
         t1 = time.perf_counter()
-        log.info("scene tables: median-split ordering %.1fs", t1 - t0)
+        log.info("scene tables: %s-split ordering %.1fs", variant, t1 - t0)
 
         if native_builder.available():
             normals, planes_o, planes_d = native_builder.triangle_planes(verts)

@@ -499,12 +499,11 @@ def cmd_prime_cache(args) -> int:
     import time as _time
 
     from radarays_ros_tpu.geom import cache as scache
-    from radarays_ros_tpu.native import builder as native_builder
+    from radarays_ros_tpu.geom.scene import cache_flavor
 
     scene = _load_scene(args)
-    flavor = "native" if native_builder.available() else "numpy"
     key = scache.scene_cache_key(scene.verts, scene.obj_ids,
-                                 scene.chunk_size, flavor)
+                                 scene.chunk_size, cache_flavor())
     path = scache.default_cache_dir() / f"{key}.npz"
     if path.exists() and not args.force:
         print(f"already primed: {path} "

@@ -36,6 +36,13 @@ def _lib():
             fp, ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64)]
         lib.rr_median_split_order.restype = None
+        try:  # absent from pre-SAH .so builds (round 5): callers gate on
+            lib.rr_sah_split_order.argtypes = [  # has_sah_split()
+                fp, fp, fp, ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64)]
+            lib.rr_sah_split_order.restype = None
+        except AttributeError:
+            pass
         lib.rr_chunk_aabbs.argtypes = [
             fp, ctypes.c_int64, ctypes.c_int64, fp, fp]
         lib.rr_chunk_aabbs.restype = None
@@ -130,6 +137,32 @@ def median_split_order(centers: np.ndarray, chunk_size: int) -> np.ndarray:
     out = np.empty(n, np.int64)
     lib.rr_median_split_order(
         _fp(centers), ctypes.c_int64(n), ctypes.c_int64(chunk_size),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return out
+
+
+def has_sah_split() -> bool:
+    """True when the loaded .so exports rr_sah_split_order (round-5+)."""
+    lib = _lib()
+    return lib is not None and hasattr(lib, "rr_sah_split_order")
+
+
+def sah_split_order(centers: np.ndarray, tri_lo: np.ndarray,
+                    tri_hi: np.ndarray, chunk_size: int) -> np.ndarray:
+    """SAH-scored split ordering of (N, 3) centroids with per-triangle
+    AABBs (N, 3)x2 via the C++ builder — bit-identical to
+    geom/scene.py:_median_split_order_sah (pinned by
+    tests/test_native.py)."""
+    lib = _lib()
+    centers = np.ascontiguousarray(centers, np.float32)
+    tri_lo = np.ascontiguousarray(tri_lo, np.float32)
+    tri_hi = np.ascontiguousarray(tri_hi, np.float32)
+    n = centers.shape[0]
+    out = np.empty(n, np.int64)
+    lib.rr_sah_split_order(
+        _fp(centers), _fp(tri_lo), _fp(tri_hi), ctypes.c_int64(n),
+        ctypes.c_int64(chunk_size),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
     return out

@@ -78,6 +78,116 @@ void rr_median_split_order(const float* centers, int64_t n,
   }
 }
 
+// SAH-scored variant of rr_median_split_order (same leaf contract; the
+// C++ counterpart of geom/scene.py:_median_split_order_sah and written
+// to match it BIT-FOR-BIT: stable sorts, f32 prefix/suffix AABB scans,
+// f32 surface areas with the same association, f64 cost, first-minimum
+// tie-breaks). At every node all 3 axes x all chunk_size-snapped split
+// positions are scored with SA(left)*n_left + SA(right)*n_right where
+// the child AABBs come from prefix/suffix min/max scans of the
+// per-TRIANGLE AABBs (tri_lo/tri_hi, (n, 3) f32 each), so the score
+// reflects the real chunk AABBs the Pallas sweep will slab-test.
+// Classic presorted full-sweep build, O(n log n): one stable sort per
+// axis at the root; every node carries its triangle set sorted by all 3
+// axes as contiguous ranges of three index arrays, and children inherit
+// each sorted order by a stable flag-partition (O(m) per axis per node).
+void rr_sah_split_order(const float* centers, const float* tri_lo,
+                        const float* tri_hi, int64_t n, int64_t chunk_size,
+                        int64_t* out) {
+  if (n <= 0) return;
+  std::vector<int64_t> A[3];
+  for (int ax = 0; ax < 3; ++ax) {
+    A[ax].resize(n);
+    std::iota(A[ax].begin(), A[ax].end(), int64_t{0});
+    std::stable_sort(A[ax].begin(), A[ax].end(), [&](int64_t a, int64_t b) {
+      return centers[a * 3 + ax] < centers[b * 3 + ax];
+    });
+  }
+  struct Range { int64_t lo, hi; };
+  std::vector<Range> stack;
+  stack.push_back({0, n});
+  // reusable scratch (nodes are fully processed before the next pops)
+  std::vector<float> pl(6 * n);  // prefix (left-child) AABB min/max
+  std::vector<float> sf(6 * n);  // suffix (right-child) AABB min/max
+  std::vector<uint8_t> flag(n, 0);
+  std::vector<int64_t> tl, tr;
+  tl.reserve(n);
+  tr.reserve(n);
+  while (!stack.empty()) {
+    const Range r = stack.back();
+    stack.pop_back();
+    const int64_t m = r.hi - r.lo;
+    if (m <= chunk_size) continue;
+    const int64_t n_pos = m / chunk_size - 1;
+    double best_cost = 0.0;
+    int64_t best_h = -1;
+    int best_ax = 0;
+    for (int ax = 0; ax < 3; ++ax) {
+      const int64_t* ids = A[ax].data() + r.lo;
+      for (int64_t i = 0; i < m; ++i) {         // prefix scans (f32)
+        const float* lo3 = tri_lo + ids[i] * 3;
+        const float* hi3 = tri_hi + ids[i] * 3;
+        for (int k = 0; k < 3; ++k) {
+          pl[i * 6 + k] = i ? std::min(pl[(i - 1) * 6 + k], lo3[k]) : lo3[k];
+          pl[i * 6 + 3 + k] =
+              i ? std::max(pl[(i - 1) * 6 + 3 + k], hi3[k]) : hi3[k];
+        }
+      }
+      for (int64_t i = m - 1; i >= 0; --i) {    // suffix scans (f32)
+        const float* lo3 = tri_lo + ids[i] * 3;
+        const float* hi3 = tri_hi + ids[i] * 3;
+        for (int k = 0; k < 3; ++k) {
+          sf[i * 6 + k] = i < m - 1
+              ? std::min(sf[(i + 1) * 6 + k], lo3[k]) : lo3[k];
+          sf[i * 6 + 3 + k] = i < m - 1
+              ? std::max(sf[(i + 1) * 6 + 3 + k], hi3[k]) : hi3[k];
+        }
+      }
+      int64_t ax_h = -1;
+      double ax_cost = 0.0;
+      for (int64_t p = 1; p <= n_pos; ++p) {    // snapped split positions
+        const int64_t h = p * chunk_size;
+        const float* L = &pl[(h - 1) * 6];
+        const float* R = &sf[h * 6];
+        const float dl0 = L[3] - L[0], dl1 = L[4] - L[1], dl2 = L[5] - L[2];
+        const float dr0 = R[3] - R[0], dr1 = R[4] - R[1], dr2 = R[5] - R[2];
+        const float sa_l = dl0 * dl1 + dl1 * dl2 + dl2 * dl0;
+        const float sa_r = dr0 * dr1 + dr1 * dr2 + dr2 * dr0;
+        const double cost = static_cast<double>(sa_l) * static_cast<double>(h)
+            + static_cast<double>(sa_r) * static_cast<double>(m - h);
+        if (ax_h < 0 || cost < ax_cost) {       // first minimum (np.argmin)
+          ax_cost = cost;
+          ax_h = h;
+        }
+      }
+      if (best_h < 0 || ax_cost < best_cost) {  // strict <: first axis wins
+        best_cost = ax_cost;
+        best_h = ax_h;
+        best_ax = ax;
+      }
+    }
+    // flag the left set (first best_h ids in the winning axis order), then
+    // stable-partition all three axis ranges by the flag
+    for (int64_t i = 0; i < best_h; ++i) flag[A[best_ax][r.lo + i]] = 1;
+    for (int ax = 0; ax < 3; ++ax) {
+      tl.clear();
+      tr.clear();
+      for (int64_t i = r.lo; i < r.hi; ++i) {
+        const int64_t id = A[ax][i];
+        (flag[id] ? tl : tr).push_back(id);
+      }
+      std::copy(tl.begin(), tl.end(), A[ax].begin() + r.lo);
+      std::copy(tr.begin(), tr.end(), A[ax].begin() + r.lo + best_h);
+    }
+    for (int64_t i = 0; i < best_h; ++i) flag[A[best_ax][r.lo + i]] = 0;
+    stack.push_back({r.lo + best_h, r.hi});
+    stack.push_back({r.lo, r.lo + best_h});
+  }
+  // leaves now lie left-to-right as ranges of the axis-0 array, matching
+  // the Python DFS emission order
+  std::copy(A[0].begin(), A[0].end(), out);
+}
+
 // Axis-aligned bounding boxes of fixed-size triangle chunks.
 // verts: (C * chunk, 3, 3) float32; writes lo/hi as (C, 3) float32.
 void rr_chunk_aabbs(const float* verts, int64_t n_chunks, int64_t chunk,

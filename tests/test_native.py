@@ -146,3 +146,71 @@ def test_tri_table_parity(tris):
     t2 = _tri_fetch_table(tris, normals, obj_ids)
     assert t1.shape == t2.shape and t1.dtype == t2.dtype
     np.testing.assert_array_equal(t1.view(np.uint16), t2.view(np.uint16))
+
+
+def test_sah_split_order_bit_parity(tris):
+    """C++ SAH split (rr_sah_split_order) must be BIT-IDENTICAL to the
+    NumPy reference (_median_split_order_sah): stable sorts + IEEE f32
+    scans + f64 cost with first-minimum tie-breaks on both sides (the
+    scene cache relies on this — the ordering variant shares one cache
+    flavor across builders)."""
+    from radarays_ros_tpu.geom.scene import _median_split_order_sah
+
+    if not nb.has_sah_split():
+        pytest.skip("libradarays_native.so predates rr_sah_split_order")
+    rng = np.random.default_rng(17)
+    # clustered scene with duplicate centroids to exercise tie-breaking
+    k = 12
+    cc = rng.uniform(-80, 80, (k, 3))
+    ci = rng.integers(0, k, 2048)
+    v0 = cc[ci] + rng.normal(0, 3, (2048, 3))
+    v0[::9] = v0[3::9][: v0[::9].shape[0]]  # force exact duplicates
+    verts = (v0[:, None, :] + rng.normal(0, 0.5, (2048, 3, 3))).astype(
+        np.float32)
+    centers = verts.mean(axis=1)
+    lo, hi = verts.min(axis=1), verts.max(axis=1)
+    for tc in (64, 256):
+        o_py = _median_split_order_sah(centers, lo, hi, tc)
+        o_cc = nb.sah_split_order(centers, lo, hi, tc)
+        assert sorted(o_cc.tolist()) == list(range(2048))
+        np.testing.assert_array_equal(o_py, o_cc)
+
+
+def test_sah_order_variant_leaf_contract():
+    """RADARAYS_ORDER_VARIANT=sah produces the same triangle multiset and
+    exactly-full leaves; its chunk AABBs must not be worse than median
+    split (the property the sweep kernel's cost rides on)."""
+    import os
+
+    from radarays_ros_tpu.geom.primitives import make_urban_scene
+    from radarays_ros_tpu.geom.scene import Scene
+
+    parts, names = make_urban_scene(n_buildings=12, extent=50.0, seed=4)
+
+    def build(variant):
+        scene = Scene.compose(parts, names, chunk_size=16)
+        os.environ["RADARAYS_ORDER_VARIANT"] = variant
+        try:
+            return scene.device_arrays()
+        finally:
+            os.environ.pop("RADARAYS_ORDER_VARIANT", None)
+
+    sa_m = build("median")
+    sa_s = build("sah")
+
+    def sorted_rows(v):
+        r = np.asarray(v).reshape(-1, 9)
+        return r[np.lexsort(r.T[::-1])]
+
+    np.testing.assert_array_equal(sorted_rows(sa_m.verts),
+                                  sorted_rows(sa_s.verts))
+
+    def sa_sum(sa):
+        lo = np.asarray(sa.chunk_aabb_lo)
+        hi = np.asarray(sa.chunk_aabb_hi)
+        real = lo[:, 0] < 1e7
+        d = (hi - lo)[real]
+        return float((d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2]
+                      + d[:, 2] * d[:, 0]).sum())
+
+    assert sa_sum(sa_s) <= sa_sum(sa_m) * 1.05
