@@ -56,7 +56,7 @@ def ensure_native() -> bool:
 
 
 def parity_check(n_buildings: int = 16600, n_rays: int = 131072,
-                 **trace_kwargs) -> dict:
+                 chunk_size: int = 256, **trace_kwargs) -> dict:
     """Hardware exactness gate: pallas3 vs the exact `culled` oracle.
 
     Two consecutive rounds shipped kernels that were silently wrong ON
@@ -87,7 +87,7 @@ def parity_check(n_buildings: int = 16600, n_rays: int = 131072,
     parts, names = make_urban_scene(n_buildings=n_buildings, extent=140.0,
                                     seed=11)
     sa = jax.device_put(Scene.compose(parts, names,
-                                      chunk_size=256).device_arrays())
+                                      chunk_size=chunk_size).device_arrays())
     o_j, d_j = jnp.asarray(o), jnp.asarray(d)
 
     @jax.jit
@@ -117,7 +117,8 @@ def parity_check(n_buildings: int = 16600, n_rays: int = 131072,
 
 
 def build_benchmark(n_buildings: int, extent: float = 300.0,
-                    cfg_overrides: dict | None = None):
+                    cfg_overrides: dict | None = None,
+                    chunk_size: int = 256):
     import jax
 
     from radarays_ros_tpu.geom.primitives import make_urban_scene
@@ -127,7 +128,7 @@ def build_benchmark(n_buildings: int, extent: float = 300.0,
     t0 = time.perf_counter()
     parts, names = make_urban_scene(n_buildings=n_buildings, extent=extent,
                                     seed=7)
-    scene = Scene.compose(parts, names, chunk_size=256)
+    scene = Scene.compose(parts, names, chunk_size=chunk_size)
     t1 = time.perf_counter()
 
     n_obj = scene.n_objects
@@ -183,7 +184,8 @@ def build_benchmark(n_buildings: int, extent: float = 300.0,
 
 def measure_scale(n_buildings: int, n_iters: int = 7, batch: int = 20,
                   extent: float = 300.0, n_stream: int = 10,
-                  cfg_overrides: dict | None = None):
+                  cfg_overrides: dict | None = None,
+                  chunk_size: int = 256):
     """Frame throughput at one scene scale, two fetch-forced protocols.
 
     NOTE on methodology: through the axon relay, block_until_ready() does
@@ -210,7 +212,8 @@ def measure_scale(n_buildings: int, n_iters: int = 7, batch: int = 20,
     from radarays_ros_tpu.utils.transforms import make_pose
 
     scene, params, cfg, key = build_benchmark(n_buildings, extent=extent,
-                                              cfg_overrides=cfg_overrides)
+                                              cfg_overrides=cfg_overrides,
+                                              chunk_size=chunk_size)
     scene = jax.device_put(scene)
     params = jax.device_put(params)
     pose = jnp.asarray(make_pose([0.0, 0.0, 2.0]))

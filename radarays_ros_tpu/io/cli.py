@@ -82,15 +82,19 @@ def cmd_simulate(args) -> int:
     from radarays_ros_tpu.sim.radar import Radar
     from radarays_ros_tpu.utils.transforms import identity_pose
 
+    # validate the argument combination BEFORE the scene/table build and
+    # Radar construction — a doomed --synced run must not pay minutes of
+    # large-scene table building + device transfers first
+    if args.synced and not args.traj:
+        print("--synced requires --traj", file=sys.stderr)
+        return 2
+
     scene = _load_scene(args)
     cfg, params = _load_cfg_params(args, scene)
     radar = Radar(scene, params, cfg, seed=args.seed)
 
     traj = Trajectory.load_tum(args.traj) if args.traj else None
     if args.synced:
-        if traj is None:
-            print("--synced requires --traj", file=sys.stderr)
-            return 2
         stamps = traj.stamps[:args.frames] if args.frames else traj.stamps
     else:
         stamps = np.arange(args.frames, dtype=np.float64) / args.rate
