@@ -46,7 +46,7 @@ def radar_fan(n_rays: int, seed: int = 0):
     return o.copy(), d
 
 
-def trace_marginal(mode: str, scene, n_rays=409600, k=5):
+def trace_marginal(mode: str, scene, n_rays=409600, k=5, **trace_kwargs):
     import jax
     import jax.numpy as jnp
 
@@ -63,7 +63,7 @@ def trace_marginal(mode: str, scene, n_rays=409600, k=5):
             oo = o_j
             for _ in range(reps):
                 r = trace(sa, oo, d_j, engine="pallas3", ray_block=2048,
-                          argmin_mode=mode)
+                          argmin_mode=mode, **trace_kwargs)
                 s = jnp.sum(jnp.where(jnp.isfinite(r.t), r.t, 0.0))
                 acc = acc + s
                 oo = o_j + (s * 0.0)   # data dependence defeats relay dedup
@@ -92,11 +92,16 @@ def trace_marginal(mode: str, scene, n_rays=409600, k=5):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--modes", default="visit,gated,defer")
+    ap.add_argument("--term-strides", default="",
+                    help="comma list (e.g. 1,2,4): additionally A/B the "
+                         "early-termination check stride under the gated "
+                         "argmin (trace_pallas_v3 term_stride)")
     ap.add_argument("--skip-frame", action="store_true")
     ap.add_argument("--skip-marginal", action="store_true")
     ap.add_argument("--skip-parity", action="store_true")
     args = ap.parse_args()
-    modes = args.modes.split(",")
+    modes = [m for m in args.modes.split(",") if m]
+    strides = [int(s) for s in args.term_strides.split(",") if s]
 
     import pathlib
 
@@ -113,7 +118,7 @@ def main():
 
     ensure_native()
 
-    if not args.skip_marginal:
+    if not args.skip_marginal and (modes or strides):
         # one shared 1M scene for all marginal runs
         scene, _params, _cfg, _key = build_benchmark(83000)
         scene = jax.device_put(scene)
@@ -132,6 +137,25 @@ def main():
                 n_buildings=83000,
                 cfg_overrides={"trace_argmin_mode": mode})
             print(json.dumps({"stage": "frame_1m", "mode": mode,
+                              "sustained_hz": round(s, 2),
+                              "best_hz": round(b, 2),
+                              "trimmed_median_hz": round(t, 2),
+                              "n_triangles": tris}), flush=True)
+
+    for stride in strides:
+        if not args.skip_parity:
+            par = parity_check(argmin_mode="gated", term_stride=stride)
+            print(json.dumps({"stage": "parity", "term_stride": stride,
+                              **par}), flush=True)
+        if not args.skip_marginal:
+            m = trace_marginal("gated", scene, term_stride=stride)
+            print(json.dumps({"stage": "marginal", "term_stride": stride,
+                              **m}), flush=True)
+        if not args.skip_frame:
+            s, b, t, tris, _ = measure_scale(
+                n_buildings=83000,
+                cfg_overrides={"trace_term_stride": stride})
+            print(json.dumps({"stage": "frame_1m", "term_stride": stride,
                               "sustained_hz": round(s, 2),
                               "best_hz": round(b, 2),
                               "trimmed_median_hz": round(t, 2),

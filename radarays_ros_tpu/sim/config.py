@@ -198,6 +198,13 @@ class RadarModelConfig:
     # marginal). All three are EXACT with identical tie-breaks
     # (tests/test_trace.py::test_pallas_v3_argmin_mode_bit_parity).
     trace_argmin_mode: str = "gated"
+    # pallas3 only: evaluate the block-wide early-termination test every
+    # Nth chunk visit (1 = every visit). Any stride is EXACT — skipping a
+    # check only terminates later, and extra front-to-back visits are
+    # idempotent (trace/pallas_trace.py:trace_pallas_v3 docstring); >1
+    # trades <= N-1 extra visits/block for N-fold fewer vector->scalar
+    # termination syncs.
+    trace_term_stride: int = 1
 
     def denoiser(self) -> Tuple[Optional[np.ndarray], int]:
         """Use-time denoise kernel + mode (see image/denoise.py)."""

@@ -140,6 +140,8 @@ def _bounce(cfg: RadarModelConfig, params: RadarParams, scene: SceneArrays,
            else {}),
         **({"argmin_mode": cfg.trace_argmin_mode}
            if engine == "pallas3" else {}),
+        **({"term_stride": cfg.trace_term_stride}
+           if engine == "pallas3" and cfg.trace_term_stride != 1 else {}),
         **({"tri_chunk": cfg.trace_tri_chunk} if engine == "mxu" else {}),
         **({"k_chunks": cfg.trace_k_chunks} if engine == "culled" else {}),
     )

@@ -102,7 +102,7 @@ def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, fa_ref, fb_ref,
                      tbl_buf, tbl_sem, tri_buf, tri_sem,
                      best_idx_ref, *,
                      tc: int, group: int, t_min: float, t_max: float,
-                     argmin_mode: str = "visit"):
+                     argmin_mode: str = "visit", term_stride: int = 1):
     """v3: ordered chunk sweep with early termination and HBM->VMEM DMA.
 
     Per ray block, chunks are walked front-to-back (order_ref, ranked by the
@@ -300,9 +300,24 @@ def _trace_kernel_v3(nvisit_ref, order_hbm, entry_hbm, fa_ref, fb_ref,
             # next entry bounds every remaining chunk's entry; a lane vetoes
             # only while BOTH its best hit and its own last overlapped entry
             # are at or beyond it (see docstring for the exactness proof)
-            worst = jnp.max(jnp.minimum(best_t_ref[0, 0, :],
-                                        tlast_ref[0, 0, :]))
-            done = entry_ref[(k + 1) // W, (k + 1) % W] > worst
+            if term_stride == 1:
+                worst = jnp.max(jnp.minimum(best_t_ref[0, 0, :],
+                                            tlast_ref[0, 0, :]))
+                done = entry_ref[(k + 1) // W, (k + 1) % W] > worst
+            else:
+                # term_stride > 1: pay the (RB,) reduce + vector->scalar
+                # sync only every term_stride-th visit. EXACT: skipping a
+                # check can only terminate LATER (<= term_stride-1 extra
+                # visits per block), and extra visits never change winners
+                # (front-to-back updates are idempotent improvements).
+                def _check():
+                    worst = jnp.max(jnp.minimum(best_t_ref[0, 0, :],
+                                                tlast_ref[0, 0, :]))
+                    return entry_ref[(k + 1) // W, (k + 1) % W] > worst
+
+                done = jax.lax.cond(
+                    jax.lax.rem(k + 1, jnp.int32(term_stride)) == 0,
+                    _check, lambda: jnp.bool_(False))
             return k + 1, done
 
         k_final, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), False))
@@ -728,7 +743,8 @@ def _run_prep_kernel(lo, hi, o_aug, inv_d_t, bud_b, *, Cp: int, RB: int,
 
 
 def _v3_callable(chunk_size: int, ray_block: int, group: int, t_min: float,
-                 t_max: float, interpret: bool, argmin_mode: str = "visit"):
+                 t_max: float, interpret: bool, argmin_mode: str = "visit",
+                 term_stride: int = 1):
     """Build the v3 impl with a custom vmap rule: batched rays flatten into
     the ray axis (rays are independent), because Pallas ANY-space operands
     (the HBM-resident plane/order tables) cannot be batched by vmap."""
@@ -739,7 +755,7 @@ def _v3_callable(chunk_size: int, ray_block: int, group: int, t_min: float,
             tbl_t, tri_t, chunk_lo, chunk_hi, origs, dirs, budget,
             chunk_size=chunk_size, ray_block=ray_block, group=group,
             t_min=t_min, t_max=t_max, interpret=interpret,
-            argmin_mode=argmin_mode)
+            argmin_mode=argmin_mode, term_stride=term_stride)
 
     @impl.def_vmap
     def _vmap_rule(axis_size, in_batched, tbl_t, tri_t, chunk_lo,
@@ -777,12 +793,13 @@ def _v3_callable(chunk_size: int, ray_block: int, group: int, t_min: float,
 @functools.partial(
     jax.jit,
     static_argnames=("chunk_size", "ray_block", "group", "t_min", "t_max",
-                     "interpret", "argmin_mode"),
+                     "interpret", "argmin_mode", "term_stride"),
 )
 def _trace_pallas_v3_impl(tbl_t, tri_t, chunk_lo, chunk_hi, origs,
                           dirs, budget, *, chunk_size: int, ray_block: int,
                           group: int, t_min: float, t_max: float,
-                          interpret: bool, argmin_mode: str = "visit"):
+                          interpret: bool, argmin_mode: str = "visit",
+                          term_stride: int = 1):
     """tbl_t: bf16 fused intersection table in the kernel DMA layout
     (SWEEP_K, C*5*Tc) (geom/scene.py:_sweep_table_fused); tri_t: the
     (48, C*Tc) bf16 packed winner-fetch table — all scene-constant,
@@ -856,7 +873,8 @@ def _trace_pallas_v3_impl(tbl_t, tri_t, chunk_lo, chunk_hi, origs,
 
     kernel = functools.partial(
         _trace_kernel_v3, tc=tc, group=group,
-        t_min=float(t_min), t_max=float(t_max), argmin_mode=argmin_mode)
+        t_min=float(t_min), t_max=float(t_max), argmin_mode=argmin_mode,
+        term_stride=term_stride)
 
     best_t, tri_rows = pl.pallas_call(
         kernel,
@@ -959,6 +977,7 @@ def trace_pallas_v3(scene, origs, dirs, t_min: float = 0.0,
                     tri_aux=None, sort_rays: bool = False,
                     two_phase_cap: float | None = None,
                     argmin_mode: str = "gated",
+                    term_stride: int = 1,
                     interpret: bool | None = None, **_ignored):
     """v3 Pallas trace: front-to-back sweep + early termination + HBM DMA.
 
@@ -1003,9 +1022,19 @@ def trace_pallas_v3(scene, origs, dirs, t_min: float = 0.0,
     flagship (marginal trace / frame sustained): visit 18.36 ms / 114.0
     Hz, gated 17.70 ms / 119.5 Hz, defer 19.37 ms (dead-end: the fetch
     recompute costs more than the sweep saves) — "gated" wins on both.
+    term_stride: evaluate the block-wide early-termination test only every
+    Nth chunk visit (1 = every visit, the default). Skipping a check
+    only ever terminates LATER (<= N-1 extra idempotent visits), so any
+    stride is exact with bit-identical outputs. MEASURED DEAD-END on
+    radar fans (docs/PERFORMANCE.md round 5): 11.75 -> 12.02 -> 13.07 ms
+    marginal at stride 1/2/4 (frame-level a wash) — the per-visit sync
+    overlaps the next visit's DMA, so stride only buys extra visits'
+    slab work. Kept for sparse-scene workloads with long sweeps.
     """
     if argmin_mode not in ("visit", "gated", "defer"):
         raise ValueError(f"unknown argmin_mode {argmin_mode!r}")
+    if term_stride < 1:
+        raise ValueError(f"term_stride must be >= 1, got {term_stride}")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     chunk_size = scene.verts.shape[0] // scene.chunk_aabb_lo.shape[0]
@@ -1023,7 +1052,8 @@ def trace_pallas_v3(scene, origs, dirs, t_min: float = 0.0,
         raise ValueError(f"ray_block must be a multiple of 128, got {ray_block}")
     group = prep_group or _auto_prep_group(scene.chunk_aabb_lo.shape[0])
     impl = _v3_callable(chunk_size, ray_block, group, float(t_min),
-                        float(t_max), interpret, argmin_mode)
+                        float(t_max), interpret, argmin_mode,
+                        int(term_stride))
     origs = jnp.asarray(origs)
     dirs = jnp.asarray(dirs)
     budget = (jnp.full(origs.shape[:-1], t_max, jnp.float32)

@@ -478,6 +478,42 @@ def test_pallas_v3_argmin_mode_bit_parity(argmin_mode, prep_group, rng):
         trace(sa, o, d, engine="pallas3", argmin_mode="bogus")
 
 
+@pytest.mark.parametrize("term_stride", [2, 4])
+def test_pallas_v3_term_stride_bit_parity(term_stride, rng):
+    """term_stride > 1 (early-termination check every Nth visit) is
+    BIT-identical to the per-visit check: skipping a check only terminates
+    LATER, and extra front-to-back visits are idempotent improvements —
+    mixed budgets and escaping rays exercise the termination path."""
+    from radarays_ros_tpu.geom.primitives import make_urban_scene
+    from radarays_ros_tpu.geom.scene import Scene
+
+    parts, names = make_urban_scene(n_buildings=120, extent=90.0, seed=21)
+    scene = Scene.compose(parts, names, chunk_size=16)
+    sa = scene.device_arrays()
+
+    n = 384
+    az = rng.uniform(0, 2 * np.pi, n)
+    el = rng.uniform(-0.1, 0.6, n)  # some escape upward
+    d = jnp.asarray(np.stack([np.cos(el) * np.cos(az),
+                              np.cos(el) * np.sin(az), np.sin(el)], -1),
+                    jnp.float32)
+    o = jnp.broadcast_to(jnp.asarray([0, 0, 2.0], jnp.float32), (n, 3))
+    bud = jnp.asarray(rng.choice([10.0, 50.0, 1000.0], n), jnp.float32)
+    aux = jnp.asarray(np.arange(sa.verts.shape[0], dtype=np.float32) % 53.0)
+
+    kw = dict(engine="pallas3", ray_block=128, t_budget=bud, tri_aux=aux)
+    ref = trace(sa, o, d, **kw)                        # term_stride = 1
+    got = trace(sa, o, d, term_stride=term_stride, **kw)
+    assert bool(np.asarray(ref.hit).any())
+    for field in ("hit", "t", "obj_id", "normal", "aux"):
+        np.testing.assert_array_equal(np.asarray(getattr(ref, field)),
+                                      np.asarray(getattr(got, field)),
+                                      err_msg=field)
+
+    with pytest.raises(ValueError, match="term_stride"):
+        trace(sa, o, d, engine="pallas3", term_stride=0)
+
+
 def test_culled_k_chunks_cap_warns(box_scene, rng):
     """Capping the culled sweep below n_chunks opts out of exactness and
     must say so loudly (the engines-match-brute contract holds uncapped)."""
